@@ -1,0 +1,105 @@
+"""Benchmark: Replica-room0-scale tracking+mapping throughput on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's pointNeRF/iMAP* per-cycle budget on 680x1200
+frames (configs/pointNeRF_slam.yaml:58-59,87-89 of the reference):
+  every 5 frames: 50 tracking Adam iters (5000 rays) + 300 mapping iters
+  (5000 rays over a 6-frame window), 32 stratified + 12 importance samples,
+  256-hidden 4-block MLP, plus free-space regulation.
+
+Baseline: the reference publishes no numbers (BASELINE.md). We use the
+NICE-SLAM paper's published iMAP* per-iteration timings on the authors' GPU
+(tracking 32.3 ms/iter, mapping 44.9 ms/iter; arXiv:2112.12130 Table 6 —
+same codebase the reference forked), giving per-5-frame cycle
+50*0.0323 + 300*0.0449 = 15.1 s -> 0.331 FPS. vs_baseline = ours / 0.331.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+BASELINE_FPS = 5.0 / (50 * 0.0323 + 300 * 0.0449)
+
+
+def main():
+    from pointnerf_slam_tpu.engine.mapper import make_mapper_step
+    from pointnerf_slam_tpu.engine.state import EngineConfig
+    from pointnerf_slam_tpu.engine.tracker import make_tracking_step
+    from pointnerf_slam_tpu.models import MLPConfig, init_mlp
+    from pointnerf_slam_tpu.render import RenderConfig
+
+    H, W = 680, 1200
+    fx = fy = 600.0
+    cx, cy = 599.5, 339.5
+    model_cfg = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=256,
+                          skips=(), n_blocks=4)
+    rcfg = RenderConfig(N_samples=32, N_surface=0, N_importance=12)
+    ecfg = EngineConfig(
+        H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        tracking_pixels=5000, num_cam_iters=50, cam_lr=1e-3,
+        mapping_pixels=5000, mapping_window_size=5,
+        weak_depth=False, depth_supervision=True)
+
+    params = init_mlp(jax.random.PRNGKey(0), model_cfg)
+    bound = jnp.asarray([[-3.5, 3.5]] * 3) * 1.0
+
+    key = jax.random.PRNGKey(1)
+    color = jax.random.uniform(key, (H, W, 3))
+    depth = jax.random.uniform(key, (H, W), minval=0.5, maxval=3.0)
+    color_u8 = (color * 255).astype(jnp.uint8)
+
+    F = 6  # window: 5 keyframes + current
+    colors = jnp.broadcast_to(color_u8, (F, H, W, 3))
+    depths = jnp.broadcast_to(depth, (F, H, W))
+    cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 2.5]), (F, 1))
+    valid = jnp.ones((F,), bool)
+    ba_mask = jnp.zeros((F,), bool)
+
+    mapper_step = make_mapper_step(model_cfg, rcfg, ecfg, F)
+    tracking_step = make_tracking_step(model_cfg, rcfg, ecfg)
+    cam0 = jnp.array([1.0, 0, 0, 0, 0, 0, 2.5])
+
+    # mapping: reference steady schedule = 3 outer x 100 inner per cycle
+    MAP_INNER = 100
+
+    def one_cycle(params, k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        best_cam, _, _ = tracking_step(params, cam0, color, depth, bound, k1)
+        for kk in (k2, k3, k4):
+            params, _, losses = mapper_step(params, colors, depths, cams,
+                                            valid, ba_mask, bound, kk,
+                                            MAP_INNER)
+        return params, best_cam, losses
+
+    # warmup/compile; force a host transfer — block_until_ready alone has
+    # proven unreliable on the experimental axon platform
+    params_w, bc, ls = one_cycle(params, jax.random.PRNGKey(2))
+    assert np.isfinite(float(ls[-1]))
+
+    n_cycles = 3
+    t0 = time.time()
+    p = params
+    for i in range(n_cycles):
+        p, bc, ls = one_cycle(p, jax.random.PRNGKey(3 + i))
+        assert np.isfinite(float(ls[-1]))  # sync point per cycle
+    dt = time.time() - t0
+
+    fps = n_cycles * 5.0 / dt  # each cycle covers every_frame=5 frames
+    print(json.dumps({
+        "metric": "replica_room0_budget_tracking_mapping_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

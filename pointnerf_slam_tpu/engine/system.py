@@ -1,0 +1,345 @@
+"""Single-controller SLAM system: deterministic tracker/mapper schedule.
+
+Replaces the reference's two-OS-process + shared-memory + disk-polling
+architecture (src/NICE_SLAM.py:117-160,355-376; SURVEY §2.4) with one host
+loop driving two jitted device programs. `sync_method` semantics collapse to
+a deterministic interleave: the mapper runs (strict: before the tracker may
+advance past idx; loose: within the every_frame window; free: whenever) —
+in a single-controller loop all three produce the same schedule: track(idx)
+-> map(idx) every `every_frame` frames, which is the fixed point the
+reference's polling converges to.
+
+Per-frame schedule (capability of src/Tracker.py:651-948, src/Mapper.py:700-934):
+  idx == 0: adopt gt pose; insert first keyframe; (non-weak) init-map
+            with iters_first.
+  weak mode, idx == track_every_frame: sparse-front-end bootstrap
+            (essential matrix pose + triangulated pseudo-depth), then
+            init-map over frames {0, idx} with iters_first.
+  tracking frames: Adam pose refinement through the renderer
+            (every frame in sensor-depth mode; every track_every_frame in
+            weak mode).
+  mapping frames (idx % every_frame == 0): window select -> mapper_step
+            outer x inner iterations; BA when >4 keyframes and enabled;
+            keyframe insertion per keyframe_every (weak: every mapped frame).
+  final frame: color-refine (5x iters, doubled window).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.se3 import camera_from_tensor, tensor_from_camera, to_homogeneous
+from ..io.config import load_config
+from ..io.datasets import get_dataset
+from ..models.decoders import get_model
+from ..render.renderer import RenderConfig
+from .mapper import make_mapper_step
+from .state import EngineConfig, KeyframeBuffer
+from .tracker import make_tracking_step
+
+
+def random_select(length, k, rng: np.random.Generator):
+    """k distinct indices from range(length) (src/common.py:66-71)."""
+    return list(rng.permutation(np.arange(length))[: min(length, k)])
+
+
+class PointNeRFSLAM:
+    def __init__(self, cfg: dict | str, args=None, n_frames_cap=None):
+        if isinstance(cfg, str):
+            cfg = load_config(cfg)
+        self.cfg = cfg
+        self.args = args
+        self.verbose = cfg["verbose"]
+        self.scale = cfg["scale"]
+        self.output = cfg["data"]["output"]
+        if args is not None and getattr(args, "output", None):
+            self.output = args.output
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        self._update_cam()
+        self._load_bound()
+
+        self.nice = cfg.get("nice", False)
+        self.model_cfg, init_fn = get_model(cfg, nice=self.nice)
+        self.params = init_fn(jax.random.PRNGKey(cfg.get("seed", 1219)))
+
+        self.rcfg = RenderConfig.from_cfg(cfg)
+        self.ecfg = EngineConfig.from_cfg(cfg, self.H, self.W, self.fx,
+                                          self.fy, self.cx, self.cy)
+
+        self.frame_reader = get_dataset(cfg, args, self.scale)
+        self.n_img = len(self.frame_reader)
+        if n_frames_cap is not None:
+            self.n_img = min(self.n_img, n_frames_cap)
+
+        cap = cfg["data"].get(
+            "keyframe_capacity",
+            min(self.n_img // max(self.ecfg.every_frame, 1) + 4, 512))
+        self.keyframes = KeyframeBuffer(cap, self.H, self.W)
+
+        self.max_window = self.ecfg.mapping_window_size + 1  # + current
+        self.mapper_step = make_mapper_step(self.model_cfg, self.rcfg,
+                                            self.ecfg, self.max_window)
+        self.mapper_step_refine = make_mapper_step(
+            self.model_cfg, self.rcfg, self.ecfg,
+            self.ecfg.mapping_window_size * 2 + 1)
+        self.tracking_step = make_tracking_step(self.model_cfg, self.rcfg,
+                                                self.ecfg)
+
+        # pose tables (host, numpy 4x4 like the reference's shared lists)
+        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+
+        self.key = jax.random.PRNGKey(cfg.get("seed", 1219) + 1)
+        self.np_rng = np.random.default_rng(cfg.get("seed", 1219))
+        self.mapping_first_frame_done = False
+        self.frontend = None  # attached lazily in weak mode
+        self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
+        self.logger = None
+        self.mesher = None
+        self.timings = {"tracking": 0.0, "mapping": 0.0, "frontend": 0.0,
+                        "frames": 0}
+
+    # -- setup ------------------------------------------------------------
+    def _update_cam(self):
+        """Intrinsics rescale for crop_size / crop_edge
+        (src/NICE_SLAM.py:176-198)."""
+        c = self.cfg["cam"]
+        self.H, self.W = c["H"], c["W"]
+        self.fx, self.fy, self.cx, self.cy = c["fx"], c["fy"], c["cx"], c["cy"]
+        if "crop_size" in c:
+            ch, cw = c["crop_size"]
+            sx = cw / self.W
+            sy = ch / self.H
+            self.fx *= sx
+            self.fy *= sy
+            self.cx *= sx
+            self.cy *= sy
+            self.W, self.H = cw, ch
+        edge = c["crop_edge"]
+        if edge > 0:
+            self.H -= 2 * edge
+            self.W -= 2 * edge
+            self.cx -= edge
+            self.cy -= edge
+
+    def _load_bound(self):
+        """Scene bound * scale, rounded up to bound_divisible
+        (src/NICE_SLAM.py:200-213)."""
+        b = np.array(self.cfg["mapping"]["bound"], np.float32) * self.scale
+        div = self.cfg["grid_len"]["bound_divisible"]
+        b[:, 1] = (np.ceil((b[:, 1] - b[:, 0]) / div) * div) + b[:, 0]
+        self.bound = jnp.asarray(b)
+
+    # -- helpers ----------------------------------------------------------
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _cam7(self, c2w44: np.ndarray) -> jnp.ndarray:
+        return tensor_from_camera(jnp.asarray(c2w44, jnp.float32))
+
+    def _c2w44(self, cam7) -> np.ndarray:
+        return np.asarray(to_homogeneous(camera_from_tensor(cam7)))
+
+    def _supervising_depth(self, idx: int, sensor_depth):
+        if self.ecfg.weak_depth:
+            return self.pseudo_depths.get(
+                idx, jnp.zeros((self.H, self.W), jnp.float32))
+        return jnp.asarray(sensor_depth)
+
+    # -- mapping ----------------------------------------------------------
+    def _select_window(self, refine: bool = False):
+        """Window slots (kf slots + current-frame marker -1), global-random
+        (src/Mapper.py:362-380)."""
+        wsize = self.ecfg.mapping_window_size * (2 if refine else 1)
+        n_kf = len(self.keyframes)
+        slots = []
+        if n_kf > 0:
+            chosen = random_select(n_kf - 1, wsize - 2, self.np_rng)
+            slots = sorted(set(int(c) for c in chosen) | {n_kf - 1})
+        return slots
+
+    def _map_frame(self, idx, color, sensor_depth, gt_c2w, num_iters,
+                   outer_iters, refine=False):
+        t0 = time.time()
+        max_frames = (self.ecfg.mapping_window_size * 2 + 1 if refine
+                      else self.max_window)
+        step_fn = self.mapper_step_refine if refine else self.mapper_step
+
+        cur_cam = self._cam7(self.estimate_c2w_list[idx])
+        cur_color_u8 = jnp.asarray(
+            np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8))
+        cur_depth = self._supervising_depth(idx, sensor_depth)
+
+        for outer in range(outer_iters):
+            slots = self._select_window(refine)
+            n_win = len(slots) + 1  # + current frame
+            kf_color, kf_depth, kf_pseudo, kf_cams = \
+                self.keyframes.gather_window(
+                    np.asarray(slots + [0] * (max_frames - 1 - len(slots)),
+                               np.int64))
+            kf_sup = kf_pseudo if self.ecfg.weak_depth else kf_depth
+
+            colors = jnp.concatenate([kf_color, cur_color_u8[None]], 0)
+            depths = jnp.concatenate([kf_sup, cur_depth[None]], 0)
+            cams = jnp.concatenate([kf_cams, cur_cam[None]], 0)
+            valid = np.zeros((max_frames,), bool)
+            valid[: len(slots)] = True
+            valid[-1] = True
+
+            do_ba = self.ecfg.BA and len(self.keyframes) > 4
+            ba_mask = np.zeros((max_frames,), bool)
+            if do_ba:
+                ba_mask[: len(slots)] = True
+                ba_mask[-1] = True
+                if slots:
+                    oldest = int(np.argmin(np.asarray(slots)))
+                    ba_mask[oldest] = False
+
+            self.params, cams_out, losses = step_fn(
+                self.params, colors, depths, cams,
+                jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
+                self._next_key(), num_iters)
+
+            if do_ba:
+                for w, slot in enumerate(slots):
+                    self.keyframes.set_est_c2w(slot, cams_out[w])
+                cur_cam = cams_out[-1]
+                self.estimate_c2w_list[idx] = self._c2w44(cur_cam)
+
+            if self.verbose:
+                print(f"Mapping frame {idx} outer {outer}: loss "
+                      f"{float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
+        self.mapping_first_frame_done = True
+        self.timings["mapping"] += time.time() - t0
+
+    # -- tracking ---------------------------------------------------------
+    def _track_frame(self, idx, color, sensor_depth, gt_c2w):
+        t0 = time.time()
+        if self.ecfg.const_speed_assumption and idx >= 2:
+            pre = self.estimate_c2w_list[idx - 1]
+            prepre = self.estimate_c2w_list[idx - 2]
+            init = pre @ np.linalg.inv(prepre) @ pre
+        else:
+            init = self.estimate_c2w_list[idx - 1]
+        cam0 = self._cam7(init)
+        depth_sup = self._supervising_depth(idx, sensor_depth)
+        best_cam, best_loss, first_loss = self.tracking_step(
+            self.params, cam0, jnp.asarray(color), depth_sup, self.bound,
+            self._next_key())
+        self.estimate_c2w_list[idx] = self._c2w44(best_cam)
+        if self.verbose:
+            gt_cam = self._cam7(gt_c2w)
+            err = float(jnp.abs(gt_cam - best_cam).mean())
+            print(f"Tracking frame {idx}: loss {float(first_loss):.2f} -> "
+                  f"{float(best_loss):.2f}, cam err {err:.4f}")
+        self.timings["tracking"] += time.time() - t0
+
+    # -- keyframes --------------------------------------------------------
+    def _maybe_insert_keyframe(self, idx, color, sensor_depth, gt_c2w):
+        e = self.ecfg
+        want = (idx % e.keyframe_every == 0 or idx == self.n_img - 2
+                or (e.weak_depth and idx % e.every_frame == 0))
+        if not want or idx in self.keyframes.frame_idx:
+            return
+        color_u8 = np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8)
+        pseudo = self.pseudo_depths.get(idx)
+        self.keyframes.insert(
+            idx, color_u8, jnp.asarray(sensor_depth),
+            self._cam7(self.estimate_c2w_list[idx]), self._cam7(gt_c2w),
+            pseudo_depth=pseudo)
+
+    # -- main loop ---------------------------------------------------------
+    def step(self, idx, color, sensor_depth, gt_c2w):
+        """Process one frame (tracking + mapping as scheduled)."""
+        e = self.ecfg
+        self.gt_c2w_list[idx] = gt_c2w
+
+        if idx == 0:
+            self.estimate_c2w_list[0] = gt_c2w
+            self._maybe_insert_keyframe(0, color, sensor_depth, gt_c2w)
+            if not e.weak_depth:
+                self._map_frame(0, color, sensor_depth, gt_c2w,
+                                e.iters_first, 1)
+            self.timings["frames"] += 1
+            return
+
+        # ---- tracking
+        if e.gt_camera:
+            self.estimate_c2w_list[idx] = gt_c2w
+        elif e.weak_depth:
+            if idx == e.track_every_frame:
+                self._bootstrap_weak(idx, color, gt_c2w)
+            elif idx % e.track_every_frame == 0 and \
+                    self.mapping_first_frame_done:
+                self._frontend_frame(idx, color)
+                self._track_frame(idx, color, sensor_depth, gt_c2w)
+            else:
+                self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
+        else:
+            self._track_frame(idx, color, sensor_depth, gt_c2w)
+
+        # ---- mapping
+        final = idx == self.n_img - 1
+        if idx % e.every_frame == 0 or final:
+            if e.weak_depth and idx < e.track_every_frame:
+                pass  # nothing to map before bootstrap
+            else:
+                self._maybe_insert_keyframe(idx, color, sensor_depth, gt_c2w)
+                if final and e.color_refine:
+                    self._map_frame(idx, color, sensor_depth, gt_c2w,
+                                    e.iters, 5, refine=True)
+                elif e.weak_depth and not self.mapping_first_frame_done:
+                    self._map_frame(idx, color, sensor_depth, gt_c2w,
+                                    e.iters_first, 1)
+                else:
+                    outer = 3
+                    self._map_frame(idx, color, sensor_depth, gt_c2w,
+                                    max(e.iters // outer, 1), outer)
+        self.timings["frames"] += 1
+
+    def _bootstrap_weak(self, idx, color, gt_c2w):
+        """Sparse front-end bootstrap at idx == track_every_frame
+        (src/Tracker.py:761-834). Attached once the frontend module exists;
+        until then gt-pose fallback keeps the engine runnable."""
+        if self.frontend is None:
+            self.estimate_c2w_list[idx] = gt_c2w
+            return
+        t0 = time.time()
+        est_c2w, pseudo_ref, pseudo_cur = self.frontend.bootstrap(
+            self.frame_reader, 0, idx, self.estimate_c2w_list[0])
+        self.estimate_c2w_list[idx] = est_c2w
+        self.pseudo_depths[0] = pseudo_ref
+        self.pseudo_depths[idx] = pseudo_cur
+        self.timings["frontend"] += time.time() - t0
+
+    def _frontend_frame(self, idx, color):
+        """Per-tracked-frame pseudo-depth (intended continuous behavior of
+        the reference's weak pipeline; see PARITY.md)."""
+        if self.frontend is None:
+            return
+        t0 = time.time()
+        pseudo = self.frontend.pseudo_depth_for(
+            self.frame_reader, idx, self.estimate_c2w_list)
+        if pseudo is not None:
+            self.pseudo_depths[idx] = pseudo
+        self.timings["frontend"] += time.time() - t0
+
+    def run(self):
+        for idx in range(self.n_img):
+            _, color, depth, gt_c2w = self.frame_reader[idx]
+            self.step(idx, color, depth, gt_c2w)
+            if self.logger is not None:
+                self.logger.maybe_log(self, idx)
+            if self.mesher is not None:
+                self.mesher.maybe_mesh(self, idx)
+        return self.estimate_c2w_list, self.gt_c2w_list

@@ -1,0 +1,112 @@
+"""Tracking step: per-frame camera pose refinement by gradient descent
+through the renderer — capability of src/Tracker.py:253-335,845-921.
+
+The 50-iteration Adam loop runs on device in one lax.scan, carrying the
+min-loss candidate selection (Tracker.py:912-914) as part of the scan state.
+The candidate recorded for a given loss is the PRE-step camera tensor (the
+tensor the loss was evaluated at); the reference stores the post-step tensor
+because torch Adam mutates in place — an off-by-one we fix (PARITY.md).
+
+Loss per iteration (Tracker.py:304-331):
+  weak/depth mode:  sum(|D - D_hat| / sqrt(Var + 1e-10))[mask]
+                    + w_color * sum(|C - C_hat|)[mask]
+  color-only mode:  sum(|C - C_hat|)[mask]
+  mask = D > 0 (handle_dynamic: additionally err < 10 * median(err)).
+
+Pixel sampling: weak mode samples among pseudo-depth > 0.01 pixels
+(Tracker.py:206-225); otherwise uniform over the edge-cropped image
+(common.py:92-134). Static budget with replacement (see core/rays.py).
+
+`seperate_LR` (Tracker.py:857-868): quaternion gets lr * 0.2, translation lr.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.rays import gather_pixels, rays_from_uv, sample_uv_uniform, \
+    sample_uv_valid
+from ..core.se3 import camera_from_tensor
+from ..render.renderer import RenderConfig, render_rays
+from .state import EngineConfig
+
+
+def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
+    H, W = ecfg.H, ecfg.W
+    He, We = ecfg.ignore_edge_H, ecfg.ignore_edge_W
+    n_rays = ecfg.tracking_pixels
+
+    def sample_rays(key, color, depth, c2w34):
+        if ecfg.weak_depth:
+            idx, _ = sample_uv_valid(key, depth > 0.01, n_rays)
+        else:
+            idx = sample_uv_uniform(key, W, He, H - He, We, W - We, n_rays)
+        i, j, d, c = gather_pixels(idx, W, depth, color)
+        rays_o, rays_d = rays_from_uv(i, j, c2w34, ecfg.fx, ecfg.fy,
+                                      ecfg.cx, ecfg.cy)
+        return rays_o, rays_d, d, c
+
+    def loss_fn(cam_tensor, params, color, depth_sup, bound, key):
+        c2w = camera_from_tensor(cam_tensor)
+        k_s, k_r = jax.random.split(key)
+        rays_o, rays_d, gt_d, gt_c = sample_rays(k_s, color, depth_sup, c2w)
+        dep, var, col, _ = render_rays(params, model_cfg, rcfg,
+                                       rays_o, rays_d, bound, k_r, gt_d)
+        var = jax.lax.stop_gradient(var)
+        if ecfg.handle_dynamic:
+            tmp = jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10)
+            mask = (tmp < 10 * jnp.median(tmp)) & (gt_d > 0)
+        else:
+            mask = gt_d > 0
+        mask = mask.astype(jnp.float32)
+        if not ecfg.depth_supervision:
+            loss = jnp.sum(jnp.abs(gt_c - col).sum(-1) * mask)
+        else:
+            loss = jnp.sum(
+                jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10) * mask)
+            if ecfg.use_color_in_tracking:
+                loss = loss + ecfg.w_color_loss_t * jnp.sum(
+                    jnp.abs(gt_c - col).sum(-1) * mask)
+        return loss
+
+    @jax.jit
+    def tracking_step(params, cam_tensor, color, depth_sup, bound, key):
+        """Refine one camera. Returns (best_cam, best_loss, first_loss)."""
+        if ecfg.seperate_LR:
+            tx = optax.multi_transform(
+                {"quad": optax.adam(ecfg.cam_lr * 0.2),
+                 "t": optax.adam(ecfg.cam_lr)},
+                {"quad": "quad", "t": "t"})
+            split = lambda c: {"quad": c[:4], "t": c[4:]}
+            join = lambda d: jnp.concatenate([d["quad"], d["t"]])
+        else:
+            tx = optax.adam(ecfg.cam_lr)
+            split = lambda c: c
+            join = lambda d: d
+
+        opt_vars = split(cam_tensor)
+        opt_state = tx.init(opt_vars)
+
+        def body(carry, k):
+            opt_vars, opt_state, best_cam, best_loss = carry
+            cam = join(opt_vars)
+            loss, grads = jax.value_and_grad(
+                lambda c: loss_fn(c, params, color, depth_sup, bound, k)
+            )(cam)
+            improved = loss < best_loss
+            best_cam = jnp.where(improved, cam, best_cam)
+            best_loss = jnp.where(improved, loss, best_loss)
+            updates, opt_state = tx.update(split(grads), opt_state)
+            opt_vars = optax.apply_updates(opt_vars, updates)
+            return (opt_vars, opt_state, best_cam, best_loss), loss
+
+        keys = jax.random.split(key, ecfg.num_cam_iters)
+        init = (opt_vars, opt_state, cam_tensor, jnp.float32(1e10))
+        (_, _, best_cam, best_loss), losses = jax.lax.scan(body, init, keys)
+        return best_cam, best_loss, losses[0]
+
+    return tracking_step

@@ -267,6 +267,10 @@ def get_model(cfg: dict, nice: bool = False):
             color_grid_len=cfg["grid_len"]["color"],
             pos_embedding_method=pos)
         return mcfg, (lambda key: init_nice(key, mcfg))
-    mcfg = MLPConfig(dim=dim, c_dim=0, color=True, hidden_size=256,
-                     skips=(), n_blocks=4, pos_embedding_method=pos)
+    # hidden_size/n_blocks overridable for small-scale tests; reference
+    # hardcodes 256/4 (src/conv_onet/config.py:29-32)
+    mcfg = MLPConfig(dim=dim, c_dim=0, color=True,
+                     hidden_size=cfg["model"].get("hidden_size", 256),
+                     skips=(), n_blocks=cfg["model"].get("n_blocks", 4),
+                     pos_embedding_method=pos)
     return mcfg, (lambda key: init_mlp(key, mcfg))

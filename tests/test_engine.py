@@ -1,0 +1,222 @@
+"""End-to-end engine tests on the synthetic dataset (CPU, tiny budgets).
+
+Covers SURVEY §4's implied suite: synthetic-fixture smoke run, config system,
+keyframe buffer, deterministic scheduler, and pose-accuracy sanity (ATE-style
+check against gt)."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf_slam_tpu.io.config import load_config, DEFAULT_CONFIG, \
+    update_recursive
+from pointnerf_slam_tpu.io.datasets import get_dataset
+from pointnerf_slam_tpu.engine import PointNeRFSLAM, KeyframeBuffer
+
+
+def tiny_cfg(**over):
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    update_recursive(cfg, {
+        "scale": 1.0,
+        "weak_depth": False,
+        "depth_supervision": True,
+        "verbose": False,
+        "cam": {"H": 40, "W": 52, "fx": 30.0, "fy": 30.0, "cx": 25.5,
+                "cy": 19.5, "crop_edge": 0},
+        "model": {"hidden_size": 32, "n_blocks": 2},
+        "rendering": {"N_samples": 12, "N_surface": 0, "N_importance": 4},
+        "mapping": {"bound": [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]],
+                    "marching_cubes_bound": [[-2.2, 2.2]] * 3,
+                    "pixels": 400, "iters": 60, "iters_first": 200,
+                    "every_frame": 2, "keyframe_every": 4,
+                    "mapping_window_size": 3, "color_refine": False},
+        "tracking": {"pixels": 300, "iters": 12, "lr": 2e-3,
+                     "gt_camera": False},
+        "data": {"dataset": "synthetic", "n_frames": 9,
+                 "output": "/tmp/tpu_slam_test"},
+        "track_every_frame": 1,
+    })
+    update_recursive(cfg, over)
+    return cfg
+
+
+class TestConfig:
+    def test_defaults_complete(self):
+        cfg = load_config(None)
+        assert cfg["rendering"]["N_samples"] == 32
+        assert cfg["mapping"]["iters"] == 300
+
+    def test_inherit_chain(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(
+            "scale: 0.5\nmapping:\n  iters: 77\n")
+        (tmp_path / "child.yaml").write_text(
+            f"inherit_from: {tmp_path}/base.yaml\nmapping:\n  pixels: 123\n")
+        cfg = load_config(str(tmp_path / "child.yaml"))
+        assert cfg["scale"] == 0.5
+        assert cfg["mapping"]["iters"] == 77
+        assert cfg["mapping"]["pixels"] == 123
+        assert cfg["mapping"]["iters_first"] == 1500  # default survives
+
+    def test_relative_inherit(self, tmp_path):
+        (tmp_path / "p.yaml").write_text("scale: 0.25\n")
+        (tmp_path / "c.yaml").write_text("inherit_from: p.yaml\n")
+        cfg = load_config(str(tmp_path / "c.yaml"))
+        assert cfg["scale"] == 0.25
+
+
+class TestSyntheticDataset:
+    def test_frames_consistent(self):
+        cfg = tiny_cfg()
+        ds = get_dataset(cfg)
+        assert len(ds) == 9
+        idx, color, depth, c2w = ds[3]
+        assert color.shape == (40, 52, 3) and depth.shape == (40, 52)
+        assert 0.0 <= color.min() and color.max() <= 1.0
+        assert depth.min() > 0.1  # camera inside the room, all rays hit
+        # depth is z-buffer: center pixel depth ~ distance along forward
+        assert np.isfinite(depth).all()
+
+    def test_depth_matches_geometry(self):
+        """Ray-cast depth must be consistent with the pose: unprojecting the
+        depth map and re-casting from another frame agrees with that frame's
+        depth."""
+        cfg = tiny_cfg()
+        ds = get_dataset(cfg)
+        _, _, depth, c2w = ds[0]
+        # unproject center pixel, check inside room bound
+        i, j = 26, 20
+        d = depth[j, i]
+        dirs = np.array([(i - ds.cx) / ds.fx, -(j - ds.cy) / ds.fy, -1.0])
+        p = c2w[:3, 3] + (c2w[:3, :3] @ dirs) * d
+        assert np.all(np.abs(p) <= 2.0 + 1e-5)
+
+
+class TestKeyframeBuffer:
+    def test_insert_and_gather(self):
+        buf = KeyframeBuffer(4, 8, 10)
+        color = np.full((8, 10, 3), 7, np.uint8)
+        depth = np.full((8, 10), 1.5, np.float32)
+        cam = np.arange(7, dtype=np.float32)
+        buf.insert(0, color, depth, cam, cam)
+        buf.insert(5, color * 2, depth * 2, cam + 1, cam)
+        assert len(buf) == 2 and buf.frame_idx == [0, 5]
+        c, d, p, cams = buf.gather_window(np.array([1, 0]))
+        assert int(c[0, 0, 0, 0]) == 14
+        np.testing.assert_allclose(d[1], 1.5)
+        np.testing.assert_allclose(cams[0], cam + 1)
+
+    def test_capacity_guard(self):
+        buf = KeyframeBuffer(1, 4, 4)
+        z = np.zeros((4, 4), np.float32)
+        buf.insert(0, np.zeros((4, 4, 3), np.uint8), z, np.zeros(7), np.zeros(7))
+        with pytest.raises(RuntimeError):
+            buf.insert(1, np.zeros((4, 4, 3), np.uint8), z, np.zeros(7),
+                       np.zeros(7))
+
+
+class TestEndToEndGTCamera:
+    """Mapping-only run with gt poses: the field must fit the scene."""
+
+    def test_mapping_converges(self):
+        cfg = tiny_cfg(tracking={"gt_camera": True})
+        slam = PointNeRFSLAM(cfg)
+        slam.run()
+        # render a held-out view's depth against gt
+        from pointnerf_slam_tpu.render import render_img
+        idx, color, depth, c2w = slam.frame_reader[4]
+        d, v, c = render_img(slam.params, slam.model_cfg, slam.rcfg,
+                             slam.H, slam.W, slam.fx, slam.fy, slam.cx,
+                             slam.cy, jnp.asarray(c2w), slam.bound,
+                             gt_depth=jnp.asarray(depth), chunk=1024)
+        err = float(jnp.abs(d - depth).mean())
+        assert err < 0.25, f"depth L1 {err}"
+        np.testing.assert_allclose(slam.estimate_c2w_list[8],
+                                   slam.gt_c2w_list[8], atol=1e-6)
+
+
+class TestEndToEndTracked:
+    """Full loop with pose tracking: ATE must stay small on the easy
+    synthetic trajectory."""
+
+    def test_tracking_bounded_drift(self):
+        """Full pipeline smoke: at tiny CPU budgets the learned field bounds
+        tracking accuracy, so assert finite bounded drift (quality asserted
+        rigorously in test_tracker_converges_smooth_field + TPU runs)."""
+        cfg = tiny_cfg(data={"orbit": 0.05},
+                       tracking={"iters": 20, "lr": 3e-3})
+        slam = PointNeRFSLAM(cfg)
+        est, gt = slam.run()
+        ate = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert np.isfinite(ate).all()
+        # trajectory extent is ~0.34; bound = no runaway divergence
+        assert ate.max() < 0.7, f"ATE max {ate.max():.3f}"
+        assert slam.timings["tracking"] > 0  # tracker actually ran
+
+    def test_tracker_converges_smooth_field(self):
+        """Pose refinement against a smooth analytic field must recover a
+        perturbed pose (the tracker's core contract). Hard step-function
+        fields have zero autodiff pose gradient by construction — learned
+        MLPs are smooth, so this is the representative case."""
+        import pointnerf_slam_tpu.render.renderer as R
+        from pointnerf_slam_tpu.io.synthetic import SyntheticScene
+        from pointnerf_slam_tpu.core.se3 import tensor_from_camera
+        from pointnerf_slam_tpu.engine.tracker import make_tracking_step
+        from pointnerf_slam_tpu.engine.state import EngineConfig
+        from pointnerf_slam_tpu.render.renderer import RenderConfig
+        from pointnerf_slam_tpu.models import MLPConfig
+        import dataclasses
+
+        cfg = tiny_cfg()
+        ds = get_dataset(cfg)
+        scene = SyntheticScene()
+
+        def smooth_eval(params, model_cfg, pts, bound, c_grid=None,
+                        stage="color"):
+            lo = jnp.asarray(scene.box_lo)
+            hi = jnp.asarray(scene.box_hi)
+            box_sdf = jnp.max(jnp.maximum(lo - pts, pts - hi), -1)
+            room_sdf = scene.room_half - jnp.max(jnp.abs(pts), -1)
+            sigma = 60.0 * (jax.nn.sigmoid(-box_sdf * 40)
+                            + jax.nn.sigmoid(-room_sdf * 40))
+            base = 0.5 + 0.5 * jnp.stack([
+                jnp.sin(1.7 * pts[..., 0] + 0.9 * pts[..., 1]),
+                jnp.sin(1.3 * pts[..., 1] + 1.1 * pts[..., 2] + 2.0),
+                jnp.sin(2.1 * pts[..., 2] + 0.7 * pts[..., 0] + 4.0)], -1)
+            rgb = jnp.where((box_sdf < 0)[..., None],
+                            0.3 * base + 0.7 * jnp.asarray([0.9, 0.4, 0.2]),
+                            base)
+            return jnp.concatenate([rgb, sigma[..., None]], -1)
+
+        orig = R.eval_points
+        R.eval_points = smooth_eval
+        try:
+            ecfg = EngineConfig.from_cfg(cfg, ds.H, ds.W, ds.fx, ds.fy,
+                                         ds.cx, ds.cy)
+            ecfg = dataclasses.replace(ecfg, num_cam_iters=60, cam_lr=3e-3,
+                                       weak_depth=False)
+            rcfg = RenderConfig(N_samples=24, N_importance=8)
+            step = make_tracking_step(MLPConfig(), rcfg, ecfg)
+            _, color, depth, c2w = ds[2]
+            cam_gt = tensor_from_camera(jnp.asarray(c2w))
+            pert = np.eye(4, dtype=np.float32)
+            pert[:3, 3] = [0.05, -0.03, 0.04]
+            cam0 = tensor_from_camera(jnp.asarray(pert @ c2w))
+            bound = jnp.asarray([[-2.2, 2.2]] * 3)
+            best, bl, fl = step(None, cam0, jnp.asarray(color),
+                                jnp.asarray(depth), bound,
+                                jax.random.PRNGKey(0))
+            err0 = float(jnp.abs(cam0 - cam_gt).mean())
+            err1 = float(jnp.abs(best - cam_gt).mean())
+            assert err1 < 0.75 * err0, f"tracker did not converge: {err0} -> {err1}"
+            assert float(bl) < float(fl)
+        finally:
+            R.eval_points = orig
+
+    def test_deterministic_given_seed(self):
+        cfg = tiny_cfg()
+        est1, _ = PointNeRFSLAM(cfg).run()
+        est2, _ = PointNeRFSLAM(cfg).run()
+        np.testing.assert_allclose(est1, est2, atol=1e-6)
