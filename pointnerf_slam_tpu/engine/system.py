@@ -101,7 +101,12 @@ class PointNeRFSLAM:
         self.key = jax.random.PRNGKey(cfg.get("seed", 1219) + 1)
         self.np_rng = np.random.default_rng(cfg.get("seed", 1219))
         self.mapping_first_frame_done = False
-        self.frontend = None  # attached lazily in weak mode
+        self.frontend = None
+        if self.ecfg.weak_depth and not self.ecfg.gt_camera:
+            from ..frontend import SparseFrontend
+            self.frontend = SparseFrontend(cfg, self.H, self.W, self.fx,
+                                           self.fy, self.cx, self.cy)
+        self._pose_init_override = None
         self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
         self.logger = None
         self.mesher = None
@@ -152,8 +157,14 @@ class PointNeRFSLAM:
 
     def _supervising_depth(self, idx: int, sensor_depth):
         if self.ecfg.weak_depth:
-            return self.pseudo_depths.get(
-                idx, jnp.zeros((self.H, self.W), jnp.float32))
+            if idx in self.pseudo_depths:
+                return self.pseudo_depths[idx]
+            # stale fallback: the latest available pseudo-depth (the
+            # reference tracks against depth_cur_weak of the last tracked
+            # frame, Tracker.py:891-895)
+            if self.pseudo_depths:
+                return self.pseudo_depths[max(self.pseudo_depths)]
+            return jnp.zeros((self.H, self.W), jnp.float32)
         return jnp.asarray(sensor_depth)
 
     # -- mapping ----------------------------------------------------------
@@ -225,7 +236,10 @@ class PointNeRFSLAM:
     # -- tracking ---------------------------------------------------------
     def _track_frame(self, idx, color, sensor_depth, gt_c2w):
         t0 = time.time()
-        if self.ecfg.const_speed_assumption and idx >= 2:
+        if self._pose_init_override is not None:
+            init = self._pose_init_override
+            self._pose_init_override = None
+        elif self.ecfg.const_speed_assumption and idx >= 2:
             pre = self.estimate_c2w_list[idx - 1]
             prepre = self.estimate_c2w_list[idx - 2]
             init = pre @ np.linalg.inv(prepre) @ pre
@@ -281,8 +295,11 @@ class PointNeRFSLAM:
                 self._bootstrap_weak(idx, color, gt_c2w)
             elif idx % e.track_every_frame == 0 and \
                     self.mapping_first_frame_done:
-                self._frontend_frame(idx, color)
+                # track first (stale pseudo-depth supervision, reference
+                # behavior), then triangulate with the refined pose to
+                # produce THIS frame's pseudo-depth for the mapper
                 self._track_frame(idx, color, sensor_depth, gt_c2w)
+                self._frontend_frame(idx, color)
             else:
                 self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
         else:
@@ -309,8 +326,7 @@ class PointNeRFSLAM:
 
     def _bootstrap_weak(self, idx, color, gt_c2w):
         """Sparse front-end bootstrap at idx == track_every_frame
-        (src/Tracker.py:761-834). Attached once the frontend module exists;
-        until then gt-pose fallback keeps the engine runnable."""
+        (src/Tracker.py:761-834)."""
         if self.frontend is None:
             self.estimate_c2w_list[idx] = gt_c2w
             return
@@ -320,16 +336,30 @@ class PointNeRFSLAM:
         self.estimate_c2w_list[idx] = est_c2w
         self.pseudo_depths[0] = pseudo_ref
         self.pseudo_depths[idx] = pseudo_cur
+        # back-fill the first keyframe's pseudo depth (Mapper.py:829)
+        if 0 in self.keyframes.frame_idx:
+            slot = self.keyframes.frame_idx.index(0)
+            from .state import _insert
+            self.keyframes.pseudo_depth = _insert(
+                self.keyframes.pseudo_depth, jnp.int32(slot), pseudo_ref)
+        if self.verbose and self.frontend.telemetry:
+            t = self.frontend.telemetry[-1]
+            print(f"Frontend bootstrap {idx}: {t['n_matches']} matches, "
+                  f"{t['n_inliers']} inliers, {t['n_accept']} triangulated, "
+                  f"scale {t['scale']:.3f}")
         self.timings["frontend"] += time.time() - t0
 
     def _frontend_frame(self, idx, color):
-        """Per-tracked-frame pseudo-depth (intended continuous behavior of
-        the reference's weak pipeline; see PARITY.md)."""
+        """Per-tracked-frame pseudo-depth by known-pose triangulation
+        (intended continuous behavior of the weak pipeline; PARITY.md #2).
+        The current pose is predicted by the motion model; the NeRF tracker
+        refines it right after using this pseudo-depth as supervision."""
         if self.frontend is None:
             return
         t0 = time.time()
         pseudo = self.frontend.pseudo_depth_for(
-            self.frame_reader, idx, self.estimate_c2w_list)
+            self.frame_reader, idx, self.estimate_c2w_list,
+            self.estimate_c2w_list[idx])
         if pseudo is not None:
             self.pseudo_depths[idx] = pseudo
         self.timings["frontend"] += time.time() - t0

@@ -1,0 +1,225 @@
+"""Sparse visual front-end: pose initialization + pseudo-depth production.
+
+Capability of the reference's pyslam-graft bootstrap (src/Tracker.py:458-610):
+  extract keypoints -> two-way NN match -> essential-matrix RANSAC pose ->
+  two-view triangulation -> median-depth scale fix -> reproject -> patch
+  splat into pseudo-depth maps.
+
+Coordinate bridge: the neural-field side uses the OpenGL-style camera
+(-y, -z; src/common.py:74-89); classical epipolar geometry here runs in the
+CV convention (+z forward). F = diag(1,-1,-1) converts between camera frames:
+Tcw_cv = F4 @ inv(c2w_nerf).
+
+Scale handling (PARITY.md #15): the reference rescales the *absolute*
+translations of both cameras by depth_scale (Tracker.py:514-527), which is a
+similarity about the world origin; we apply the equivalent-but-anchored
+version — scale the relative baseline and the structure about the reference
+camera center — so the gt-initialized first pose stays the world anchor.
+depth_scale is fixed at bootstrap (median triangulated depth == median gt
+depth of frame 0) and reused for subsequent tracked pairs (Tracker.py:522-527).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.se3 import inv_T
+from .epipolar import estimate_relative_pose_ransac
+from .features import HarrisExtractor, SuperPointExtractor
+from .matching import match_two_way
+from .pseudo_depth import splat_pseudo_depth
+from .triangulate import point_checks, triangulate_points
+
+_F4 = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def nerf_c2w_to_cv_w2c(c2w_nerf: np.ndarray) -> np.ndarray:
+    return _F4 @ np.asarray(inv_T(jnp.asarray(c2w_nerf, jnp.float32)))
+
+
+def cv_w2c_to_nerf_c2w(Tcw_cv: np.ndarray) -> np.ndarray:
+    return np.asarray(inv_T(jnp.asarray(_F4 @ Tcw_cv, jnp.float32)))
+
+
+class SparseFrontend:
+    def __init__(self, cfg, H, W, fx, fy, cx, cy, extractor=None, key=None):
+        self.H, self.W = H, W
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.depth_patch = cfg.get("depth_patch", 5)
+        self.nn_thresh = cfg.get("nn_thresh", 0.7)
+        self.max_kps = cfg.get("num_features", 1000)
+        # reference (pyslam kRansacThresholdNormalized) uses 3e-4, tuned for
+        # fx~600 with sub-pixel SuperPoint corners; integer-pixel detectors
+        # at low focal need at least ~1px/fx
+        self.ransac_thresh = cfg.get("ransac_thresh",
+                                     max(3e-4, 1.0 / float(fx)))
+        self.key = key if key is not None else jax.random.PRNGKey(7)
+        if extractor is not None:
+            self.extractor = extractor
+        else:
+            sp_path = cfg.get("superpoint_weights",
+                              "pretrained/superpoint_v1.pth")
+            if os.path.exists(sp_path) and H % 8 == 0 and W % 8 == 0:
+                self.extractor = SuperPointExtractor(sp_path,
+                                                     max_kps=self.max_kps)
+            else:
+                self.extractor = HarrisExtractor(max_kps=self.max_kps)
+        self.depth_scale: Optional[float] = None
+        self.median_gt_depth: Optional[float] = None
+        self.prev = None  # dict: frame_idx, kps, desc, valid
+        self.telemetry = []
+
+    # -- helpers -----------------------------------------------------------
+    def _extract(self, color_np: np.ndarray):
+        gray = jnp.asarray(color_np, jnp.float32).mean(-1)
+        return self.extractor.extract(gray)
+
+    def _kpn(self, kps: jnp.ndarray) -> jnp.ndarray:
+        return jnp.stack([(kps[:, 0] - self.cx) / self.fx,
+                          (kps[:, 1] - self.cy) / self.fy], -1)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # -- core two-view procedure -------------------------------------------
+    def _two_view(self, feats_ref, feats_cur, Tcw_ref_cv: np.ndarray,
+                  set_scale: bool):
+        """Returns (Tcw_cur_cv, uv/z for both frames, accept mask, stats)."""
+        kps_r, desc_r, val_r = feats_ref
+        kps_c, desc_c, val_c = feats_cur
+
+        idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
+                                        self.nn_thresh)
+        kpn_cur = self._kpn(kps_c)
+        kpn_ref = self._kpn(kps_r)[idx2]
+
+        Trc, inliers, n_inl = estimate_relative_pose_ransac(
+            kpn_ref, kpn_cur, mvalid, self._next_key(),
+            thresh=self.ransac_thresh)
+        Trc = np.asarray(Trc)
+        Tcr = np.asarray(inv_T(jnp.asarray(Trc)))
+        Tcw_cur_cv = Tcr @ Tcw_ref_cv  # unit-baseline pose (Tracker.py:478)
+
+        pts3d, ok = triangulate_points(
+            jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv), kpn_cur,
+            kpn_ref)
+        accept, z_cur, z_ref, uvn_cur, uvn_ref = point_checks(
+            pts3d, jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv),
+            kpn_cur, kpn_ref, self.fx)
+        accept = accept & inliers & ok
+
+        z_cur_np = np.asarray(z_cur)
+        acc_np = np.asarray(accept)
+        if set_scale:
+            if acc_np.sum() < 8:
+                raise RuntimeError(
+                    f"frontend bootstrap: only {acc_np.sum()} accepted "
+                    f"triangulations")
+            median_depth = float(np.median(z_cur_np[acc_np]))
+            self.depth_scale = self.median_gt_depth / median_depth
+        s = self.depth_scale
+
+        # scale baseline + structure about the ref camera center
+        C_ref = -Tcw_ref_cv[:3, :3].T @ Tcw_ref_cv[:3, 3]
+        C_cur = -Tcw_cur_cv[:3, :3].T @ Tcw_cur_cv[:3, 3]
+        C_cur_s = C_ref + s * (C_cur - C_ref)
+        Tcw_cur_cv = Tcw_cur_cv.copy()
+        Tcw_cur_cv[:3, 3] = -Tcw_cur_cv[:3, :3] @ C_cur_s
+
+        # depths scale linearly with the baseline; projections unchanged
+        uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
+        uv_ref = np.asarray(uvn_ref) * [self.fx, self.fy] + [self.cx, self.cy]
+        stats = {"n_matches": int(np.asarray(mvalid).sum()),
+                 "n_inliers": int(n_inl), "n_accept": int(acc_np.sum()),
+                 "scale": float(s)}
+        return (Tcw_cur_cv, uv_cur, uv_ref, s * z_cur_np,
+                s * np.asarray(z_ref), acc_np, stats)
+
+    def _splat(self, uv, z, accept):
+        return splat_pseudo_depth(
+            jnp.asarray(uv, jnp.float32), jnp.asarray(z, jnp.float32),
+            jnp.asarray(accept), self.H, self.W, self.depth_patch)
+
+    # -- public API ----------------------------------------------------------
+    def bootstrap(self, frame_reader, ref_idx: int, cur_idx: int,
+                  ref_c2w_nerf: np.ndarray):
+        """Initial two-view bootstrap (Tracker.py:761-812).
+
+        Returns (est_c2w_cur (4,4) NeRF convention, pseudo_ref, pseudo_cur).
+        """
+        _, color_ref, depth_ref, _ = frame_reader[ref_idx]
+        _, color_cur, _, _ = frame_reader[cur_idx]
+        if self.median_gt_depth is None:
+            z = np.sort(np.asarray(depth_ref).reshape(-1))
+            self.median_gt_depth = float(z[(len(z) - 1) // 2])
+
+        feats_ref = self._extract(color_ref)
+        feats_cur = self._extract(color_cur)
+        Tcw_ref_cv = nerf_c2w_to_cv_w2c(ref_c2w_nerf)
+
+        Tcw_cur_cv, uv_cur, uv_ref, z_cur, z_ref, accept, stats = \
+            self._two_view(feats_ref, feats_cur, Tcw_ref_cv, set_scale=True)
+        self.telemetry.append({"idx": cur_idx, **stats})
+
+        pseudo_ref = self._splat(uv_ref, z_ref, accept)
+        pseudo_cur = self._splat(uv_cur, z_cur, accept)
+        self.prev = {"frame_idx": cur_idx, "feats": feats_cur}
+        return cv_w2c_to_nerf_c2w(Tcw_cur_cv), pseudo_ref, pseudo_cur
+
+    def pseudo_depth_for(self, frame_reader, idx: int,
+                         estimate_c2w_list: np.ndarray,
+                         cur_c2w_pred: np.ndarray):
+        """Continuous mode: triangulate the current frame against the
+        previous tracked frame using KNOWN pose estimates (the refined
+        previous pose + the motion-model prediction for the current frame).
+
+        Essential-matrix estimation is NOT used here: at SLAM inter-frame
+        baselines E's translation direction is degenerate (rotation-dominant
+        flow), whereas pose estimates from the NeRF tracker are already
+    accurate — triangulating with them is strictly better-conditioned.
+        The bootstrap (no prior poses, larger baseline) keeps E (PARITY.md
+        #2/#12). Returns pseudo_depth or None."""
+        if self.prev is None:
+            return None
+        _, color_cur, _, _ = frame_reader[idx]
+        feats_cur = self._extract(color_cur)
+        ref_idx = self.prev["frame_idx"]
+        Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
+        Tcw_cur_cv = nerf_c2w_to_cv_w2c(cur_c2w_pred)
+
+        kps_r, desc_r, val_r = self.prev["feats"]
+        kps_c, desc_c, val_c = feats_cur
+        idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
+                                        self.nn_thresh)
+        kpn_cur = self._kpn(kps_c)
+        kpn_ref = self._kpn(kps_r)[idx2]
+
+        pts3d, ok = triangulate_points(
+            jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv), kpn_cur,
+            kpn_ref)
+        # adaptive reprojection gate: the current pose estimate carries the
+        # tracker's residual error, so a fixed tight gate can starve the
+        # pseudo-depth; widen until enough points survive
+        accept = None
+        for gate in (3.0, 6.0, 10.0):
+            acc, z_cur, z_ref, uvn_cur, uvn_ref = point_checks(
+                pts3d, jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv),
+                kpn_cur, kpn_ref, self.fx, max_reproj_px=gate)
+            accept = np.asarray(acc & mvalid & ok)
+            if accept.sum() >= 16:
+                break
+        self.telemetry.append({
+            "idx": idx, "n_matches": int(np.asarray(mvalid).sum()),
+            "n_inliers": -1, "n_accept": int(accept.sum()),
+            "scale": float(self.depth_scale or 1.0)})
+        self.prev = {"frame_idx": idx, "feats": feats_cur}
+        if accept.sum() < 8:
+            return None
+        uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
+        return self._splat(uv_cur, np.asarray(z_cur), accept)

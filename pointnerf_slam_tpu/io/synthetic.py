@@ -48,13 +48,22 @@ class SyntheticScene:
         return t, pts, box_hit & (t_near <= t_room)
 
     def color(self, pts: np.ndarray, box_mask: np.ndarray) -> np.ndarray:
-        """Smooth procedural texture in [0, 1]."""
+        """Smooth procedural texture in [0, 1] with a mid-frequency detail
+        component (gives corner detectors something to latch onto while
+        keeping photometric gradients smooth)."""
         p = pts
         base = 0.5 + 0.5 * np.stack([
             np.sin(1.7 * p[..., 0] + 0.9 * p[..., 1]),
             np.sin(1.3 * p[..., 1] + 1.1 * p[..., 2] + 2.0),
             np.sin(2.1 * p[..., 2] + 0.7 * p[..., 0] + 4.0),
         ], axis=-1)
+        detail = (np.sin(7.3 * p[..., 0] + 0.5) * np.sin(8.1 * p[..., 1] + 1.2)
+                  * np.sin(6.7 * p[..., 2] + 2.1))
+        detail2 = (np.sin(14.9 * p[..., 0] + 2.7)
+                   * np.sin(16.3 * p[..., 1] + 0.4)
+                   * np.sin(13.1 * p[..., 2] + 5.0))
+        base = np.clip(base * (0.8 + 0.28 * detail[..., None]
+                               + 0.12 * detail2[..., None]), 0.0, 1.0)
         box_tint = np.array([0.9, 0.4, 0.2])
         return np.where(box_mask[..., None], 0.3 * base + 0.7 * box_tint,
                         base).astype(np.float32)

@@ -1,0 +1,77 @@
+"""ATE evaluation (capability of src/tools/eval_ate.py).
+
+Horn's closed-form rigid alignment of estimated to ground-truth
+trajectories + translational RMSE/mean/median stats; checkpoint-driven CLI
+reading this framework's npz checkpoints (ckpt translation divided by
+`scale`, inf/nan gt rows masked — reference eval_ate.py:243-258).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def align_horn(model: np.ndarray, data: np.ndarray):
+    """Rigid alignment data ~= rot @ model + trans (both (3, N)).
+
+    Returns rot (3,3), trans (3,1), trans_error (N,). Mirrors the reference's
+    SVD-based Horn implementation (eval_ate.py:44-78)."""
+    model_mean = model.mean(axis=1, keepdims=True)
+    data_mean = data.mean(axis=1, keepdims=True)
+    model_zc = model - model_mean
+    data_zc = data - data_mean
+    W = model_zc @ data_zc.T
+    U, d, Vt = np.linalg.svd(W.T)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    rot = U @ S @ Vt
+    trans = data_mean - rot @ model_mean
+    aligned = rot @ model + trans
+    err = np.sqrt(np.sum((aligned - data) ** 2, axis=0))
+    return rot, trans, err
+
+
+def evaluate_ate(gt_c2w: np.ndarray, est_c2w: np.ndarray,
+                 scale: float = 1.0):
+    """ATE stats over (N, 4, 4) pose arrays.
+
+    Translations divided by `scale` (ckpt poses live in the scaled world,
+    reference eval_ate.py:243-247); gt rows containing inf/nan are dropped
+    (ScanNet, :253-258)."""
+    gt_t = gt_c2w[:, :3, 3] / scale
+    est_t = est_c2w[:, :3, 3] / scale
+    ok = np.isfinite(gt_t).all(axis=1) & np.isfinite(est_t).all(axis=1)
+    # skip all-zero (never-filled) rows as well
+    ok &= ~(np.abs(gt_c2w).sum(axis=(1, 2)) == 0)
+    gt_t = gt_t[ok]
+    est_t = est_t[ok]
+    _, _, err = align_horn(est_t.T, gt_t.T)
+    return {
+        "compared_pose_pairs": int(ok.sum()),
+        "absolute_translational_error.rmse": float(
+            np.sqrt(np.mean(err ** 2))),
+        "absolute_translational_error.mean": float(err.mean()),
+        "absolute_translational_error.median": float(np.median(err)),
+        "absolute_translational_error.std": float(err.std()),
+        "absolute_translational_error.min": float(err.min()),
+        "absolute_translational_error.max": float(err.max()),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description="ATE from a checkpoint")
+    p.add_argument("ckpt", help="path to ckpts/XXXXX.npz")
+    p.add_argument("--scale", type=float, default=1.0)
+    args = p.parse_args()
+    z = np.load(args.ckpt)
+    stats = evaluate_ate(z["gt_c2w_list"], z["estimate_c2w_list"],
+                         args.scale)
+    for k, v in stats.items():
+        print(f"{k} {v:.6f}" if isinstance(v, float) else f"{k} {v}")
+
+
+if __name__ == "__main__":
+    main()

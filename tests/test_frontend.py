@@ -1,0 +1,256 @@
+"""Sparse front-end tests: matching, epipolar RANSAC, triangulation,
+pseudo-depth splatting, extractors, and the full bootstrap on synthetic
+two-view geometry with known ground truth."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf_slam_tpu.frontend import (
+    HarrisExtractor, SuperPointExtractor, match_two_way,
+    estimate_relative_pose_ransac, triangulate_points, point_checks,
+    splat_pseudo_depth, SparseFrontend,
+)
+from pointnerf_slam_tpu.frontend.frontend import (nerf_c2w_to_cv_w2c,
+                                                  cv_w2c_to_nerf_c2w)
+
+
+def rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def make_two_view(n=200, seed=0, angle=0.1, baseline=(0.3, 0.05, 0.1)):
+    """Random 3D points in front of two CV cameras with known relative pose.
+    Returns kpn_ref, kpn_cur, Trc (x_ref = R x_cur + t), pts3d (ref frame =
+    world)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-2, -2, 3], [2, 2, 8], size=(n, 3))  # world = ref cam
+    Tcw_ref = np.eye(4)
+    R_rc = rotz(angle) @ rotz(angle / 2).T  # some rotation
+    R_rc = rotz(angle)
+    t_rc = np.asarray(baseline, float)
+    # x_ref = R_rc x_cur + t_rc  ->  x_cur = R_rc^T (x_ref - t_rc)
+    x_ref = pts
+    x_cur = (pts - t_rc) @ R_rc
+    kpn_ref = x_ref[:, :2] / x_ref[:, 2:3]
+    kpn_cur = x_cur[:, :2] / x_cur[:, 2:3]
+    Trc = np.eye(4)
+    Trc[:3, :3] = R_rc
+    Trc[:3, 3] = t_rc
+    Tcw_cur = np.linalg.inv(Trc) @ Tcw_ref
+    return (jnp.asarray(kpn_ref, jnp.float32),
+            jnp.asarray(kpn_cur, jnp.float32), Trc, Tcw_cur, pts)
+
+
+class TestMatching:
+    def test_mutual_nn(self):
+        d = np.eye(8, 16, dtype=np.float32)  # unit vectors
+        desc1 = jnp.asarray(d[:4])
+        desc2 = jnp.asarray(d[[2, 0, 1, 5]])
+        v = jnp.ones((4,), bool)
+        idx2, mvalid, scores = match_two_way(desc1, v, desc2, v, 0.7)
+        np.testing.assert_array_equal(np.asarray(idx2)[:3], [1, 2, 0])
+        assert bool(mvalid[0]) and bool(mvalid[1]) and bool(mvalid[2])
+        assert not bool(mvalid[3])  # desc 3 has no partner within thresh
+
+    def test_invalid_masked(self):
+        desc = jnp.asarray(np.eye(4, 8, dtype=np.float32))
+        v1 = jnp.array([True, True, False, True])
+        idx2, mvalid, _ = match_two_way(desc, v1, desc, v1, 0.7)
+        assert not bool(mvalid[2])
+        assert bool(mvalid[0])
+
+
+class TestEpipolar:
+    def test_recovers_pose(self):
+        kpn_ref, kpn_cur, Trc_gt, _, _ = make_two_view()
+        valid = jnp.ones((kpn_ref.shape[0],), bool)
+        Trc, inl, n = estimate_relative_pose_ransac(
+            kpn_ref, kpn_cur, valid, jax.random.PRNGKey(0))
+        Trc = np.asarray(Trc)
+        # rotation error
+        dR = Trc[:3, :3].T @ Trc_gt[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 0.5, f"rotation error {ang} deg"
+        # translation direction (E gives unit baseline)
+        t_gt = Trc_gt[:3, 3] / np.linalg.norm(Trc_gt[:3, 3])
+        cos = abs(float(Trc[:3, 3] @ t_gt))
+        assert cos > 0.999, f"translation direction cos {cos}"
+        assert int(n) > 150
+
+    def test_robust_to_outliers(self):
+        kpn_ref, kpn_cur, Trc_gt, _, _ = make_two_view(n=300)
+        rng = np.random.default_rng(3)
+        kpn_cur = np.array(kpn_cur)  # writable copy
+        out = rng.choice(300, 90, replace=False)
+        kpn_cur[out] += rng.uniform(0.05, 0.3, size=(90, 2))
+        valid = jnp.ones((300,), bool)
+        Trc, inl, n = estimate_relative_pose_ransac(
+            jnp.asarray(kpn_ref), jnp.asarray(kpn_cur), valid,
+            jax.random.PRNGKey(1))
+        dR = np.asarray(Trc)[:3, :3].T @ Trc_gt[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 1.0, f"rotation error {ang} deg with 30% outliers"
+        # inlier mask should mostly exclude corrupted matches
+        assert np.asarray(inl)[out].mean() < 0.2
+
+
+class TestTriangulation:
+    def test_recovers_points(self):
+        kpn_ref, kpn_cur, Trc_gt, Tcw_cur, pts = make_two_view(n=64)
+        pts3d, ok = triangulate_points(
+            jnp.asarray(Tcw_cur, jnp.float32), jnp.eye(4), kpn_cur, kpn_ref)
+        assert bool(jnp.all(ok))
+        np.testing.assert_allclose(np.asarray(pts3d), pts, atol=1e-3)
+
+    def test_checks_accept_good_points(self):
+        kpn_ref, kpn_cur, Trc_gt, Tcw_cur, pts = make_two_view(n=64)
+        pts3d, ok = triangulate_points(
+            jnp.asarray(Tcw_cur, jnp.float32), jnp.eye(4), kpn_cur, kpn_ref)
+        accept, z_cur, z_ref, uvn_cur, uvn_ref = point_checks(
+            pts3d, jnp.asarray(Tcw_cur, jnp.float32), jnp.eye(4), kpn_cur,
+            kpn_ref, fx=600.0)
+        assert float(jnp.mean(accept.astype(jnp.float32))) > 0.95
+        np.testing.assert_allclose(np.asarray(z_ref), pts[:, 2], atol=1e-3)
+
+    def test_checks_reject_behind_camera(self):
+        kpn = jnp.asarray([[0.0, 0.0]])
+        Tcw_cur = np.eye(4, dtype=np.float32)
+        Tcw_cur[2, 3] = -10.0  # moves the point behind the cur camera
+        pts3d = jnp.asarray([[0.0, 0.0, 5.0]])
+        accept, *_ = point_checks(pts3d, jnp.asarray(Tcw_cur), jnp.eye(4),
+                                  kpn, kpn, fx=600.0)
+        assert not bool(accept[0])
+
+
+class TestPseudoDepth:
+    def test_full_patch_splat(self):
+        uv = jnp.asarray([[10.0, 12.0]])
+        d = jnp.asarray([2.5])
+        out = splat_pseudo_depth(uv, d, jnp.asarray([True]), 32, 32, patch=2)
+        out = np.asarray(out)
+        assert out[12, 10] == 2.5
+        assert out[10, 8] == 2.5  # v-2, u-2 corner of the patch
+        assert out[14, 12] == 0.0  # exclusive upper bound [c-p, c+p)
+        assert (out > 0).sum() == 16
+
+    def test_border_keypoint_single_pixel(self):
+        uv = jnp.asarray([[1.0, 1.0]])
+        d = jnp.asarray([1.0])
+        out = np.asarray(splat_pseudo_depth(uv, d, jnp.asarray([True]),
+                                            16, 16, patch=3))
+        assert out[1, 1] == 1.0
+        assert (out > 0).sum() == 1
+
+    def test_invalid_ignored(self):
+        uv = jnp.asarray([[5.0, 5.0]])
+        out = np.asarray(splat_pseudo_depth(uv, jnp.asarray([1.0]),
+                                            jnp.asarray([False]), 16, 16, 2))
+        assert (out > 0).sum() == 0
+
+
+class TestExtractors:
+    def _checker(self, H=64, W=64, sq=8):
+        y, x = np.mgrid[0:H, 0:W]
+        img = (((y // sq) + (x // sq)) % 2).astype(np.float32)
+        return jnp.asarray(img)
+
+    def test_harris_finds_checker_corners(self):
+        img = self._checker()
+        ex = HarrisExtractor(max_kps=64, border=4)
+        kps, desc, valid = ex.extract(img)
+        kp = np.asarray(kps)[np.asarray(valid)]
+        assert len(kp) > 10
+        # corners sit at multiples of 8 (+-1 px)
+        offs = np.minimum(kp % 8, 8 - kp % 8)
+        assert float(np.median(offs)) <= 1.5
+
+    def test_harris_descriptor_normalized(self):
+        ex = HarrisExtractor(max_kps=32)
+        kps, desc, valid = ex.extract(self._checker())
+        n = np.linalg.norm(np.asarray(desc), axis=1)
+        np.testing.assert_allclose(n[np.asarray(valid)], 1.0, atol=1e-4)
+
+    def test_superpoint_forward_shapes(self):
+        ex = SuperPointExtractor(weights_path=None, max_kps=100,
+                                 conf_thresh=-1.0)
+        img = jax.random.uniform(jax.random.PRNGKey(0), (64, 80))
+        kps, desc, valid = ex.extract(img)
+        assert kps.shape == (100, 2)
+        assert desc.shape == (100, 256)
+        n = np.linalg.norm(np.asarray(desc), axis=1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-3)
+
+
+class TestConventionBridge:
+    def test_round_trip(self):
+        rng = np.random.default_rng(0)
+        from tests.test_core import rotmat_from_axis_angle
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = rotmat_from_axis_angle(rng.normal(size=3), 0.7)
+        c2w[:3, 3] = rng.normal(size=3)
+        back = cv_w2c_to_nerf_c2w(nerf_c2w_to_cv_w2c(c2w))
+        np.testing.assert_allclose(back, c2w, atol=1e-5)
+
+
+class TestSparseFrontendE2E:
+    def test_bootstrap_on_synthetic(self):
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.io.datasets import get_dataset
+        cfg = tiny_cfg(data={"orbit": 0.06, "n_frames": 8},
+                       cam={"H": 120, "W": 160, "fx": 90.0, "fy": 90.0,
+                            "cx": 79.5, "cy": 59.5})
+        ds = get_dataset(cfg)
+        fe = SparseFrontend(cfg, ds.H, ds.W, ds.fx, ds.fy, ds.cx, ds.cy)
+        _, _, depth0, c2w0 = ds[0]
+        _, _, depth5, gt_c2w5 = ds[5]
+        est_c2w5, pseudo0, pseudo5 = fe.bootstrap(ds, 0, 5, c2w0)
+
+        # pose: translation direction + rotation against gt
+        t_est = est_c2w5[:3, 3] - c2w0[:3, 3]
+        t_gt = gt_c2w5[:3, 3] - c2w0[:3, 3]
+        cos = float(t_est @ t_gt / (np.linalg.norm(t_est)
+                                    * np.linalg.norm(t_gt) + 1e-12))
+        assert cos > 0.95, f"baseline direction cos {cos}"
+        dR = est_c2w5[:3, :3].T @ gt_c2w5[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 3.0, f"rotation err {ang} deg"
+
+        # pseudo depth at splatted pixels close to sensor depth
+        p5 = np.asarray(pseudo5)
+        m = p5 > 0.01
+        assert m.sum() > 50
+        rel = np.abs(p5[m] - np.asarray(depth5)[m]) / np.asarray(depth5)[m]
+        assert float(np.median(rel)) < 0.1, f"median rel err {np.median(rel)}"
+
+    def test_continuous_mode(self):
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.io.datasets import get_dataset
+        cfg = tiny_cfg(data={"orbit": 0.06, "n_frames": 12},
+                       cam={"H": 120, "W": 160, "fx": 90.0, "fy": 90.0,
+                            "cx": 79.5, "cy": 59.5})
+        ds = get_dataset(cfg)
+        fe = SparseFrontend(cfg, ds.H, ds.W, ds.fx, ds.fy, ds.cx, ds.cy)
+        # seed the frontend as-if bootstrapped (continuous mode is
+        # independent of E): prev = frame 5 features, poses from gt
+        _, c5, _, gt5 = ds[5]
+        fe.prev = {"frame_idx": 5, "feats": fe._extract(c5)}
+        fe.depth_scale = 1.0
+        est_list = np.zeros((12, 4, 4), np.float32)
+        _, _, _, est_list[0] = ds[0]
+        est_list[5] = gt5
+        _, _, _, gt10_pred = ds[10]  # motion-model stand-in: gt + noise
+        pred = gt10_pred.copy()
+        pred[:3, 3] += 0.01
+        pseudo10 = fe.pseudo_depth_for(ds, 10, est_list, pred)
+        assert pseudo10 is not None
+        _, _, depth10, gt10 = ds[10]
+        p = np.asarray(pseudo10)
+        m = p > 0.01
+        assert m.sum() > 30
+        rel = np.abs(p[m] - np.asarray(depth10)[m]) / np.asarray(depth10)[m]
+        assert float(np.median(rel)) < 0.15

@@ -1,0 +1,208 @@
+"""Mesher (native marching tetrahedra), BVH ray-caster, PLY IO, checkpoint
+logger, and eval-tool tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf_slam_tpu.outputs.mesher import (marching_tets, write_ply,
+                                               read_ply, vertex_normals,
+                                               filter_mesh, Mesher)
+from pointnerf_slam_tpu.outputs.logger import Logger, load_checkpoint
+from pointnerf_slam_tpu.tools.eval_ate import align_horn, evaluate_ate
+from pointnerf_slam_tpu.tools.eval_recon import (sample_mesh_surface,
+                                                 icp_align, calc_3d_metric,
+                                                 calc_2d_metric)
+from pointnerf_slam_tpu.tools.raycast import MeshRaycaster
+
+
+def sphere_grid(n=40, r=12.0):
+    ax = np.arange(n, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    c = (n - 1) / 2
+    return np.sqrt((gx - c) ** 2 + (gy - c) ** 2 + (gz - c) ** 2), c, r
+
+
+class TestMarchingTets:
+    def test_sphere_geometry(self):
+        grid, c, r = sphere_grid()
+        verts, tris = marching_tets(grid, r)
+        assert len(verts) > 1000
+        rad = np.linalg.norm(verts - c, axis=1)
+        assert float(np.abs(rad - r).max()) < 0.05
+        a, b, cc = (verts[tris[:, i]] for i in range(3))
+        area = 0.5 * np.linalg.norm(np.cross(b - a, cc - a), axis=1).sum()
+        assert abs(area - 4 * np.pi * r * r) / (4 * np.pi * r * r) < 0.02
+
+    def test_empty_when_no_crossing(self):
+        verts, tris = marching_tets(np.ones((8, 8, 8), np.float32), 5.0)
+        assert len(verts) == 0 and len(tris) == 0
+
+    def test_mesh_is_connected_watertightish(self):
+        grid, c, r = sphere_grid(24, 7.0)
+        verts, tris = marching_tets(grid, r)
+        # every edge shared by exactly 2 faces on a closed surface
+        edges = {}
+        for t in tris:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        counts = np.array(list(edges.values()))
+        assert (counts == 2).mean() > 0.99
+
+
+class TestPLY:
+    def test_round_trip(self, tmp_path):
+        grid, c, r = sphere_grid(16, 5.0)
+        verts, tris = marching_tets(grid, r)
+        colors = np.random.randint(0, 255, (len(verts), 3), np.uint8)
+        p = str(tmp_path / "m.ply")
+        write_ply(p, verts, tris, colors)
+        v, t, col = read_ply(p)
+        np.testing.assert_allclose(v, verts, atol=1e-6)
+        assert (t == tris).all() and (col == colors).all()
+
+
+class TestRaycaster:
+    def test_sphere_depths(self):
+        grid, c, r = sphere_grid(40, 12.0)
+        verts, tris = marching_tets(grid, r)
+        rc = MeshRaycaster(verts, tris)
+        # rays from outside toward the center hit at distance dist-r
+        eye = np.array([c - 30.0, c, c])
+        o = np.tile(eye, (3, 1)).astype(np.float32)
+        d = np.array([[1.0, 0, 0], [1.0, 0.02, 0], [0, 0, 1.0]], np.float32)
+        t = rc.cast(o, d)
+        assert abs(t[0] - (30.0 - r)) < 0.1
+        assert t[1] > 0  # slightly off-axis still hits
+        assert t[2] == -1.0  # parallel ray misses
+
+    def test_miss_returns_negative(self):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        tris = np.array([[0, 1, 2]], np.int64)
+        rc = MeshRaycaster(verts, tris)
+        t = rc.cast(np.array([[0.2, 0.2, -1.0]], np.float32),
+                    np.array([[0.0, 0.0, 1.0]], np.float32))
+        assert abs(t[0] - 1.0) < 1e-5
+        t2 = rc.cast(np.array([[5.0, 5.0, -1.0]], np.float32),
+                     np.array([[0.0, 0.0, 1.0]], np.float32))
+        assert t2[0] == -1.0
+
+
+class TestEvalATE:
+    def test_horn_alignment_exact(self):
+        rng = np.random.default_rng(0)
+        from tests.test_core import rotmat_from_axis_angle
+        R = rotmat_from_axis_angle(rng.normal(size=3), 0.8)
+        t = rng.normal(size=3)
+        model = rng.normal(size=(3, 50))
+        data = R @ model + t[:, None]
+        rot, trans, err = align_horn(model, data)
+        np.testing.assert_allclose(rot, R, atol=1e-8)
+        assert err.max() < 1e-8
+
+    def test_evaluate_ate_stats(self):
+        n = 20
+        gt = np.tile(np.eye(4), (n, 1, 1))
+        gt[:, :3, 3] = np.random.default_rng(1).normal(size=(n, 3))
+        est = gt.copy()
+        est[:, 0, 3] += 0.05  # uniform offset is absorbed by alignment
+        stats = evaluate_ate(gt, est)
+        assert stats["compared_pose_pairs"] == n
+        assert stats["absolute_translational_error.rmse"] < 1e-6
+
+
+class TestEvalRecon:
+    def test_3d_metrics_identical_mesh(self, tmp_path):
+        grid, c, r = sphere_grid(32, 9.0)
+        verts, tris = marching_tets(grid, r)
+        p = str(tmp_path / "a.ply")
+        write_ply(p, verts, tris)
+        out = calc_3d_metric(p, p, n_samples=5000, align=False)
+        assert out["accuracy"] < 0.5  # cm-scale sampling noise only
+        assert out["completion ratio"] > 99.0
+
+    def test_3d_metrics_detect_deficit(self, tmp_path):
+        grid, c, r = sphere_grid(32, 9.0)
+        verts, tris = marching_tets(grid, r)
+        pa = str(tmp_path / "full.ply")
+        write_ply(pa, verts, tris)
+        # half sphere: cut z > c
+        keep = verts[:, 2] <= c
+        v2, t2 = filter_mesh(verts, tris, keep)
+        pb = str(tmp_path / "half.ply")
+        write_ply(pb, v2, t2)
+        out = calc_3d_metric(pb, pa, n_samples=5000, align=False)
+        # completion suffers (gt regions unexplained); accuracy stays good
+        assert out["completion"] > out["accuracy"]
+        assert out["completion ratio"] < 80.0
+
+    def test_icp_recovers_offset(self):
+        rng = np.random.default_rng(2)
+        pts = rng.normal(size=(2000, 3))
+        T = icp_align(pts + [0.1, -0.05, 0.02], pts, iters=20)
+        np.testing.assert_allclose(T[:3, 3], [-0.1, 0.05, -0.02], atol=0.02)
+
+    def test_2d_depth_l1_identical(self, tmp_path):
+        grid, c, r = sphere_grid(32, 9.0)
+        verts, tris = marching_tets(grid, r)
+        p = str(tmp_path / "a.ply")
+        write_ply(p, verts, tris)
+        out = calc_2d_metric(p, p, n_imgs=3, H=60, W=80, fx=40.0)
+        assert out["n_views"] >= 1
+        assert out["depth l1"] < 1e-3
+
+
+class TestLoggerRoundTrip:
+    def test_checkpoint_round_trip(self, tmp_path):
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        cfg = tiny_cfg(tracking={"gt_camera": True},
+                       data={"n_frames": 3, "output": str(tmp_path)},
+                       mapping={"iters_first": 5, "iters": 3,
+                                "ckpt_freq": 2})
+        slam = PointNeRFSLAM(cfg)
+        slam.logger = Logger(str(tmp_path), 2, slam.n_img)
+        slam.run()
+        slam.logger.log(slam, 2)
+        params, est, gt, kfs, idx = load_checkpoint(
+            str(tmp_path / "ckpts" / "00002.npz"), slam.params)
+        assert idx == 2
+        np.testing.assert_allclose(est, slam.estimate_c2w_list)
+        leaves_a = jax.tree_util.tree_leaves(params)
+        leaves_b = jax.tree_util.tree_leaves(slam.params)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_allclose(a, b)
+
+
+class TestMesherEndToEnd:
+    def test_mesh_from_trained_field(self, tmp_path):
+        """Train the field briefly on the synthetic room with gt poses, then
+        extract a mesh and check it lies on real geometry."""
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        cfg = tiny_cfg(tracking={"gt_camera": True},
+                       meshing={"resolution": 48,
+                                "color_mesh_extraction_method":
+                                    "direct_point_query"},
+                       data={"output": str(tmp_path)})
+        slam = PointNeRFSLAM(cfg)
+        slam.run()
+        mesher = Mesher(cfg, slam, points_batch_size=65536)
+        out = mesher.get_mesh(slam, str(tmp_path / "mesh.ply"))
+        assert out is not None
+        verts, tris, colors = out
+        assert len(verts) > 100
+        assert os.path.exists(tmp_path / "mesh.ply")
+        # most vertices should be near actual scene surfaces: room walls
+        # (|coord| ~ 2) or the interior box
+        from pointnerf_slam_tpu.io.synthetic import SyntheticScene
+        sc = SyntheticScene()
+        d_wall = np.abs(2.0 - np.abs(verts).max(axis=1))
+        lo = np.asarray(sc.box_lo)
+        hi = np.asarray(sc.box_hi)
+        d_box = np.maximum(lo - verts, verts - hi).max(axis=1)
+        near = np.minimum(d_wall, np.abs(d_box))
+        assert float(np.median(near)) < 0.25, float(np.median(near))

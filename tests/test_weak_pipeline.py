@@ -1,0 +1,55 @@
+"""End-to-end weak-depth (RGB-only) pipeline test: SuperPoint-style
+front-end bootstrap -> pseudo-depth supervision -> weak mapping + tracking.
+This is the reference's flagship mode (configs/pointNeRF_slam.yaml)."""
+
+import numpy as np
+
+from pointnerf_slam_tpu.engine import PointNeRFSLAM
+from tests.test_engine import tiny_cfg
+
+
+def weak_cfg():
+    return tiny_cfg(
+        weak_depth=True,
+        depth_supervision=True,
+        track_every_frame=5,
+        cam={"H": 120, "W": 160, "fx": 90.0, "fy": 90.0,
+             "cx": 79.5, "cy": 59.5},
+        data={"dataset": "synthetic", "n_frames": 16, "orbit": 0.12,
+              "output": "/tmp/tpu_slam_weak_test"},
+        mapping={"every_frame": 5, "pixels": 400, "iters": 45,
+                 "iters_first": 150, "mapping_window_size": 3,
+                 "keyframe_every": 5, "color_refine": False},
+        tracking={"pixels": 300, "iters": 10, "lr": 2e-3},
+    )
+
+
+class TestWeakPipeline:
+    def test_full_weak_run(self):
+        slam = PointNeRFSLAM(weak_cfg())
+        est, gt = slam.run()
+
+        # bootstrap must have produced pseudo-depth for frames 0 and 5
+        assert 0 in slam.pseudo_depths and 5 in slam.pseudo_depths
+        p5 = np.asarray(slam.pseudo_depths[5])
+        assert (p5 > 0.01).sum() > 50
+        # pseudo-depth values close to (unobserved) sensor depth
+        _, _, d5, _ = slam.frame_reader[5]
+        m = p5 > 0.01
+        rel = np.abs(p5[m] - d5[m]) / d5[m]
+        assert float(np.median(rel)) < 0.15
+
+        # continuous frames got pseudo-depth too (intended behavior)
+        assert 10 in slam.pseudo_depths or 15 in slam.pseudo_depths
+
+        # all poses populated and finite; bounded drift on the easy orbit
+        assert np.isfinite(est).all()
+        ate = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert ate.max() < 1.0, f"ATE {ate}"
+
+        # bootstrap pose (frame 5) close to gt
+        assert ate[5] < 0.2, f"bootstrap pose err {ate[5]}"
+
+        # keyframes: weak mode inserts every mapped frame
+        assert len(slam.keyframes) >= 3
+        assert slam.timings["frontend"] > 0
