@@ -72,11 +72,12 @@ def main():
 
     def one_cycle(params, k):
         k1, k2, k3, k4 = jax.random.split(k, 4)
-        best_cam, _, _ = tracking_step(params, cam0, color, depth, bound, k1)
+        best_cam, _, _ = tracking_step(params, {}, cam0, color, depth, bound,
+                                       k1)
         for kk in (k2, k3, k4):
-            params, _, losses = mapper_step(params, colors, depths, cams,
-                                            valid, ba_mask, bound, kk,
-                                            MAP_INNER)
+            params, _, _, losses = mapper_step(params, {}, colors, depths,
+                                               cams, valid, ba_mask, bound,
+                                               kk, MAP_INNER)
         return params, best_cam, losses
 
     # warmup/compile; force a host transfer — block_until_ready alone has

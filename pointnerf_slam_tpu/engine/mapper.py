@@ -1,5 +1,7 @@
-"""Mapping step: keyframe-window joint optimization of the scene decoder
-(and window poses when BA) — capability of src/Mapper.py:335-694.
+"""Mapping step: keyframe-window joint optimization of the scene
+representation (and window poses when BA) — capability of
+src/Mapper.py:335-694, both iMAP* (single MLP) and NICE (feature grids +
+staged decoders) modes.
 
 TPU-native design:
   - the full `num_joint_iters` Adam loop runs on device in one lax.scan
@@ -10,23 +12,25 @@ TPU-native design:
     loss contributions rescaled by (max_frames / n_valid) so the expected
     total pixel budget matches the reference's
     pixs_per_image = mapping_pixels // len(optimize_frame) (Mapper.py:397).
-  - per iteration each frame contributes `pixs_per_frame` rays sampled
-    uniformly-with-replacement (weak mode: among pseudo-depth > 0.01 pixels,
-    matching Tracker-style select_uv; else uniform over the image).
+  - NICE stage scheduling (middle/fine/color with per-stage lrs,
+    Mapper.py:520-543) maps to one compiled step per (stage, lr) pair; the
+    host calls them in sequence.
 
-Loss (iMAP* branch, Mapper.py:628-655):
-  sum|D-D_hat| over D>0  +  w_color * sum|C-C_hat| (all rays)
-  + 0.0005 * sum|sigma_free|  (regulation, density mode only)
+Loss (Mapper.py:628-655):
+  sum|D-D_hat| over D>0
+  + w_color * sum|C-C_hat|          (iMAP always; NICE only at 'color')
+  + 0.0005 * sum|sigma_free|        (density mode only)
 
 Note on lr: the reference resets param_groups[0].lr = imap_decoders_lr every
-iteration (Mapper.py:540), which makes its StepLR scheduler and lr_first
-factor no-ops in iMAP* mode — we intentionally replicate the effective
-constant-lr behavior (see PARITY.md).
+iteration (Mapper.py:540), making its StepLR scheduler and lr_first factor
+no-ops in iMAP* mode — we replicate the effective constant-lr behavior
+(PARITY.md #10).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,22 +39,33 @@ import optax
 from ..core.rays import gather_pixels, rays_from_uv, sample_uv_uniform, \
     sample_uv_valid
 from ..core.se3 import camera_from_tensor
+from ..models.decoders import NICEConfig
 from ..render.renderer import RenderConfig, regulation, render_rays
 from .state import EngineConfig
 
 
 def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
-                     max_frames: int):
+                     max_frames: int, stage: str = "color",
+                     grid_lrs: Optional[dict] = None,
+                     decoders_lr: Optional[float] = None):
     """Build the jitted mapping update.
 
-    max_frames includes the current frame (window_size-2 selected + last kf +
-    current, reference Mapper.py:362-380)."""
-
+    Args:
+      max_frames: static window size incl. the current frame
+        (window_size-2 selected + last kf + current, Mapper.py:362-380).
+      stage: NICE stage ('middle'/'fine'/'color'); ignored for iMAP.
+      grid_lrs: NICE per-level lrs, e.g. {'grid_middle': 0.1, ...}.
+      decoders_lr: decoder lr (NICE stage decoders_lr; iMAP uses
+        ecfg.imap_decoders_lr).
+    """
+    nice = isinstance(model_cfg, NICEConfig)
     H, W = ecfg.H, ecfg.W
     pixs_per_frame = max(ecfg.mapping_pixels // max_frames, 1)
+    dec_lr = (decoders_lr if decoders_lr is not None
+              else ecfg.imap_decoders_lr)
+    color_in_loss = (not nice) or stage == "color"
 
     def sample_frame_rays(key, color_u8, depth, c2w34):
-        """Sample pixs_per_frame rays for ONE window frame."""
         if ecfg.weak_depth:
             idx, _ = sample_uv_valid(key, depth > 0.01, pixs_per_frame)
         else:
@@ -64,6 +79,7 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
     def loss_fn(opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
                 bound, key, n_valid_frames):
         params = opt_vars["params"]
+        c_grid = opt_vars["grids"] if nice else None
         cams = jnp.where(ba_mask[:, None], opt_vars["cams"], fixed_cams)
         c2w = camera_from_tensor(cams)  # (F, 3, 4)
 
@@ -80,39 +96,65 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
         k_render, k_reg = jax.random.split(keys[-1])
         depth, var, color, _ = render_rays(
-            params, model_cfg, rcfg, rays_o, rays_d, bound, k_render, gt_d)
+            params, model_cfg, rcfg, rays_o, rays_d, bound, k_render, gt_d,
+            c_grid=c_grid, stage=stage)
         depth_mask = (gt_d > 0).astype(jnp.float32) * ray_w
         loss = jnp.sum(jnp.abs(gt_d - depth) * depth_mask)
-        color_loss = jnp.sum(jnp.abs(gt_c - color).sum(-1) * ray_w)
-        loss = loss + ecfg.w_color_loss_m * color_loss
+        if color_in_loss:
+            color_loss = jnp.sum(jnp.abs(gt_c - color).sum(-1) * ray_w)
+            loss = loss + ecfg.w_color_loss_m * color_loss
         if not ecfg.occupancy:
             sigma = regulation(params, model_cfg, rcfg, rays_o, rays_d, gt_d,
-                               bound, k_reg)
+                               bound, k_reg, c_grid=c_grid, stage=stage)
             sigma = sigma.reshape(rays_o.shape[0], -1)
             loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma) * ray_w[:, None])
         return loss
 
+    def make_tx():
+        txs = {"dec": optax.adam(dec_lr), "cam": optax.adam(ecfg.BA_cam_lr),
+               "frozen": optax.set_to_zero()}
+        if nice:
+            for name, lr in (grid_lrs or {}).items():
+                txs[name] = optax.adam(lr)
+
+        def dec_label(name):
+            # upstream trains only the fine/color decoders, gated by
+            # fix_fine/fix_color (Mapper.py:447-453); middle/coarse stay at
+            # their (pretrained) init
+            if not nice:
+                return "dec"
+            if name == "fine" and not ecfg.fix_fine:
+                return "dec"
+            if name == "color" and not ecfg.fix_color:
+                return "dec"
+            return "frozen"
+
+        def label_fn(opt_vars):
+            if nice:
+                p_labels = {
+                    name: jax.tree_util.tree_map(lambda _: dec_label(name),
+                                                 sub)
+                    for name, sub in opt_vars["params"].items()}
+            else:
+                p_labels = jax.tree_util.tree_map(lambda _: "dec",
+                                                  opt_vars["params"])
+            return {
+                "params": p_labels,
+                "cams": "cam",
+                "grids": {name: name for name in opt_vars["grids"]},
+            }
+
+        return optax.multi_transform(txs, label_fn)
+
     @partial(jax.jit, static_argnames=("num_iters",))
-    def mapper_step(params, colors, depths, fixed_cams, frame_valid, ba_mask,
-                    bound, key, num_iters: int):
+    def mapper_step(params, c_grid, colors, depths, fixed_cams, frame_valid,
+                    ba_mask, bound, key, num_iters: int):
         """Run num_iters mapping iterations on device.
 
-        Args:
-          params: decoder pytree.
-          colors: (F, H, W, 3) uint8.
-          depths: (F, H, W) float32 — the supervising depth (pseudo-depth in
-            weak mode, sensor depth otherwise).
-          fixed_cams: (F, 7) est_c2w camera tensors.
-          frame_valid: (F,) bool window-slot validity.
-          ba_mask: (F,) bool — poses to optimize (BA; excludes oldest kf).
-          bound: (3, 2) scene AABB.
-        Returns: (params, cams, losses(num_iters,))
-        """
-        opt_vars = {"params": params, "cams": fixed_cams}
-        tx = optax.multi_transform(
-            {"dec": optax.adam(ecfg.imap_decoders_lr),
-             "cam": optax.adam(ecfg.BA_cam_lr)},
-            {"params": "dec", "cams": "cam"})
+        Returns (params, c_grid, cams, losses)."""
+        opt_vars = {"params": params, "grids": c_grid if nice else {},
+                    "cams": fixed_cams}
+        tx = make_tx()
         opt_state = tx.init(opt_vars)
         n_valid_frames = jnp.sum(frame_valid)
 
@@ -130,6 +172,7 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         (opt_vars, _), losses = jax.lax.scan(body, (opt_vars, opt_state),
                                              keys)
         cams = jnp.where(ba_mask[:, None], opt_vars["cams"], fixed_cams)
-        return opt_vars["params"], cams, losses
+        grids_out = opt_vars["grids"] if nice else c_grid
+        return opt_vars["params"], grids_out, cams, losses
 
     return mapper_step

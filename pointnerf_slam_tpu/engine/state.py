@@ -58,6 +58,10 @@ class EngineConfig:
     keyframe_selection_method: str = "global"
     occupancy: bool = False
     sync_method: str = "loose"
+    fix_fine: bool = True
+    fix_color: bool = False
+    middle_iter_ratio: float = 0.4
+    fine_iter_ratio: float = 0.6
 
     @classmethod
     def from_cfg(cls, cfg: dict, H: int, W: int, fx, fy, cx, cy):
@@ -85,6 +89,9 @@ class EngineConfig:
             color_refine=m["color_refine"],
             keyframe_selection_method=m["keyframe_selection_method"],
             occupancy=cfg["occupancy"], sync_method=cfg["sync_method"],
+            fix_fine=m["fix_fine"], fix_color=m["fix_color"],
+            middle_iter_ratio=m["middle_iter_ratio"],
+            fine_iter_ratio=m["fine_iter_ratio"],
         )
 
 

@@ -70,6 +70,14 @@ class PointNeRFSLAM:
         self.nice = cfg.get("nice", False)
         self.model_cfg, init_fn = get_model(cfg, nice=self.nice)
         self.params = init_fn(jax.random.PRNGKey(cfg.get("seed", 1219)))
+        if self.nice:
+            from ..models.grids import init_grids
+            self.c_grid = init_grids(
+                jax.random.PRNGKey(cfg.get("seed", 1219) + 7), cfg,
+                np.array(cfg["mapping"]["bound"], np.float32)
+                * cfg["scale"])
+        else:
+            self.c_grid = {}
 
         self.rcfg = RenderConfig.from_cfg(cfg)
         self.ecfg = EngineConfig.from_cfg(cfg, self.H, self.W, self.fx,
@@ -86,11 +94,7 @@ class PointNeRFSLAM:
         self.keyframes = KeyframeBuffer(cap, self.H, self.W)
 
         self.max_window = self.ecfg.mapping_window_size + 1  # + current
-        self.mapper_step = make_mapper_step(self.model_cfg, self.rcfg,
-                                            self.ecfg, self.max_window)
-        self.mapper_step_refine = make_mapper_step(
-            self.model_cfg, self.rcfg, self.ecfg,
-            self.ecfg.mapping_window_size * 2 + 1)
+        self._mapper_steps = {}
         self.tracking_step = make_tracking_step(self.model_cfg, self.rcfg,
                                                 self.ecfg)
 
@@ -107,6 +111,7 @@ class PointNeRFSLAM:
             self.frontend = SparseFrontend(cfg, self.H, self.W, self.fx,
                                            self.fy, self.cx, self.cy)
         self._pose_init_override = None
+        self._bootstrapped = not self.ecfg.weak_depth or self.ecfg.gt_camera
         self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
         self.logger = None
         self.mesher = None
@@ -168,23 +173,91 @@ class PointNeRFSLAM:
         return jnp.asarray(sensor_depth)
 
     # -- mapping ----------------------------------------------------------
-    def _select_window(self, refine: bool = False):
-        """Window slots (kf slots + current-frame marker -1), global-random
-        (src/Mapper.py:362-380)."""
+    def _get_mapper_step(self, max_frames: int, stage: str, lr_factor: float):
+        key = (max_frames, stage, lr_factor)
+        if key not in self._mapper_steps:
+            if self.nice:
+                st = self.cfg["mapping"]["stage"][stage]
+                grid_lrs = {f"grid_{lvl}": st[f"{lvl}_lr"] * lr_factor
+                            for lvl in ("coarse", "middle", "fine", "color")
+                            if f"grid_{lvl}" in self.c_grid}
+                dec_lr = st["decoders_lr"] * lr_factor
+            else:
+                grid_lrs, dec_lr = None, None
+            self._mapper_steps[key] = make_mapper_step(
+                self.model_cfg, self.rcfg, self.ecfg, max_frames,
+                stage=stage, grid_lrs=grid_lrs, decoders_lr=dec_lr)
+        return self._mapper_steps[key]
+
+    def _stage_schedule(self, num_iters: int):
+        """NICE stage split (Mapper.py:520-527); iMAP is single-stage."""
+        if not self.nice:
+            return [("color", num_iters)]
+        m = int(num_iters * self.ecfg.middle_iter_ratio)
+        f = int(num_iters * self.ecfg.fine_iter_ratio) - m
+        c = num_iters - m - f
+        return [(s, n) for s, n in
+                (("middle", m), ("fine", f), ("color", c)) if n > 0]
+
+    def _select_window(self, refine, cur_color, cur_depth, cur_c2w):
+        """Window slots, 'global' random (Mapper.py:365-368) or 'overlap'
+        frustum scoring (Mapper.py:267-333)."""
         wsize = self.ecfg.mapping_window_size * (2 if refine else 1)
         n_kf = len(self.keyframes)
-        slots = []
-        if n_kf > 0:
+        if n_kf == 0:
+            return []
+        if self.ecfg.keyframe_selection_method == "overlap" and n_kf > 1:
+            chosen = self._overlap_select(cur_color, cur_depth, cur_c2w,
+                                          n_kf - 1, wsize - 2)
+        else:
             chosen = random_select(n_kf - 1, wsize - 2, self.np_rng)
-            slots = sorted(set(int(c) for c in chosen) | {n_kf - 1})
-        return slots
+        return sorted(set(int(c) for c in chosen) | {n_kf - 1})
+
+    def _overlap_select(self, color, depth, c2w, n_candidates, k,
+                        n_samples=16, pixels=100):
+        """Frustum-overlap keyframe scoring (Mapper.py:267-333)."""
+        depth_np = np.asarray(depth)
+        valid = np.argwhere(depth_np > 0.01)
+        if len(valid) == 0:
+            return random_select(n_candidates, k, self.np_rng)
+        sel = valid[self.np_rng.integers(0, len(valid), pixels)]
+        d = depth_np[sel[:, 0], sel[:, 1]]
+        i = sel[:, 1].astype(np.float64)
+        j = sel[:, 0].astype(np.float64)
+        dirs = np.stack([(i - self.cx) / self.fx, -(j - self.cy) / self.fy,
+                         -np.ones_like(i)], -1)
+        R = c2w[:3, :3]
+        rays_d = dirs @ R.T
+        rays_o = c2w[:3, 3]
+        t = np.linspace(0.0, 1.0, n_samples)
+        z = (d[:, None] * 0.8) * (1 - t) + (d[:, None] + 0.5) * t
+        pts = rays_o + rays_d[:, None, :] * z[..., None]
+        pts = pts.reshape(-1, 3)
+
+        from ..core.se3 import camera_from_tensor, to_homogeneous
+        scores = []
+        for slot in range(n_candidates):
+            kf_c2w = np.asarray(to_homogeneous(
+                camera_from_tensor(self.keyframes.est_c2w[slot])))
+            w2c = np.linalg.inv(kf_c2w)
+            pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            zz = -pc[:, 2]
+            ok = zz > 1e-5
+            u = pc[:, 0] / np.maximum(zz, 1e-5) * self.fx + self.cx
+            v = -pc[:, 1] / np.maximum(zz, 1e-5) * self.fy + self.cy
+            edge = 20
+            inside = ok & (u > edge) & (u < self.W - edge) & (v > edge) \
+                & (v < self.H - edge)
+            scores.append(inside.mean())
+        order = [s for s in np.argsort(scores)[::-1] if scores[s] > 0]
+        return list(self.np_rng.permutation(np.array(order, np.int64))[:k]) \
+            if order else random_select(n_candidates, k, self.np_rng)
 
     def _map_frame(self, idx, color, sensor_depth, gt_c2w, num_iters,
-                   outer_iters, refine=False):
+                   outer_iters, refine=False, lr_factor: float = 1.0):
         t0 = time.time()
         max_frames = (self.ecfg.mapping_window_size * 2 + 1 if refine
                       else self.max_window)
-        step_fn = self.mapper_step_refine if refine else self.mapper_step
 
         cur_cam = self._cam7(self.estimate_c2w_list[idx])
         cur_color_u8 = jnp.asarray(
@@ -192,8 +265,8 @@ class PointNeRFSLAM:
         cur_depth = self._supervising_depth(idx, sensor_depth)
 
         for outer in range(outer_iters):
-            slots = self._select_window(refine)
-            n_win = len(slots) + 1  # + current frame
+            slots = self._select_window(refine, color, cur_depth,
+                                        self.estimate_c2w_list[idx])
             kf_color, kf_depth, kf_pseudo, kf_cams = \
                 self.keyframes.gather_window(
                     np.asarray(slots + [0] * (max_frames - 1 - len(slots)),
@@ -208,28 +281,36 @@ class PointNeRFSLAM:
             valid[-1] = True
 
             do_ba = self.ecfg.BA and len(self.keyframes) > 4
-            ba_mask = np.zeros((max_frames,), bool)
+            ba_mask_all = np.zeros((max_frames,), bool)
             if do_ba:
-                ba_mask[: len(slots)] = True
-                ba_mask[-1] = True
+                ba_mask_all[: len(slots)] = True
+                ba_mask_all[-1] = True
                 if slots:
                     oldest = int(np.argmin(np.asarray(slots)))
-                    ba_mask[oldest] = False
+                    ba_mask_all[oldest] = False
 
-            self.params, cams_out, losses = step_fn(
-                self.params, colors, depths, cams,
-                jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
-                self._next_key(), num_iters)
+            for stage, n_iters in self._stage_schedule(num_iters):
+                # NICE optimizes cameras only during the color stage
+                # (Mapper.py:534-536)
+                ba_mask = ba_mask_all if (stage == "color" or not self.nice) \
+                    else np.zeros((max_frames,), bool)
+                step_fn = self._get_mapper_step(max_frames, stage, lr_factor)
+                self.params, self.c_grid, cams_out, losses = step_fn(
+                    self.params, self.c_grid, colors, depths, cams,
+                    jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
+                    self._next_key(), n_iters)
+                cams = cams_out
+                if self.verbose:
+                    print(f"Mapping frame {idx} outer {outer} [{stage}]: "
+                          f"loss {float(losses[0]):.1f} -> "
+                          f"{float(losses[-1]):.1f}")
 
             if do_ba:
                 for w, slot in enumerate(slots):
-                    self.keyframes.set_est_c2w(slot, cams_out[w])
-                cur_cam = cams_out[-1]
+                    self.keyframes.set_est_c2w(slot, cams[w])
+                cur_cam = cams[-1]
                 self.estimate_c2w_list[idx] = self._c2w44(cur_cam)
 
-            if self.verbose:
-                print(f"Mapping frame {idx} outer {outer}: loss "
-                      f"{float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
         self.mapping_first_frame_done = True
         self.timings["mapping"] += time.time() - t0
 
@@ -248,8 +329,8 @@ class PointNeRFSLAM:
         cam0 = self._cam7(init)
         depth_sup = self._supervising_depth(idx, sensor_depth)
         best_cam, best_loss, first_loss = self.tracking_step(
-            self.params, cam0, jnp.asarray(color), depth_sup, self.bound,
-            self._next_key())
+            self.params, self.c_grid, cam0, jnp.asarray(color), depth_sup,
+            self.bound, self._next_key())
         self.estimate_c2w_list[idx] = self._c2w44(best_cam)
         if self.verbose:
             gt_cam = self._cam7(gt_c2w)
@@ -283,7 +364,8 @@ class PointNeRFSLAM:
             self._maybe_insert_keyframe(0, color, sensor_depth, gt_c2w)
             if not e.weak_depth:
                 self._map_frame(0, color, sensor_depth, gt_c2w,
-                                e.iters_first, 1)
+                                e.iters_first, 1,
+                                lr_factor=self.cfg["mapping"]["lr_first_factor"])
             self.timings["frames"] += 1
             return
 
@@ -291,9 +373,9 @@ class PointNeRFSLAM:
         if e.gt_camera:
             self.estimate_c2w_list[idx] = gt_c2w
         elif e.weak_depth:
-            if idx == e.track_every_frame:
+            if not self._bootstrapped and idx % e.track_every_frame == 0:
                 self._bootstrap_weak(idx, color, gt_c2w)
-            elif idx % e.track_every_frame == 0 and \
+            elif self._bootstrapped and idx % e.track_every_frame == 0 and \
                     self.mapping_first_frame_done:
                 # track first (stale pseudo-depth supervision, reference
                 # behavior), then triangulate with the refined pose to
@@ -308,18 +390,19 @@ class PointNeRFSLAM:
         # ---- mapping
         final = idx == self.n_img - 1
         if idx % e.every_frame == 0 or final:
-            if e.weak_depth and idx < e.track_every_frame:
-                pass  # nothing to map before bootstrap
+            if e.weak_depth and not self._bootstrapped:
+                pass  # nothing to map before the bootstrap succeeds
             else:
                 self._maybe_insert_keyframe(idx, color, sensor_depth, gt_c2w)
+                lr_first = self.cfg["mapping"]["lr_first_factor"]
                 if final and e.color_refine:
                     self._map_frame(idx, color, sensor_depth, gt_c2w,
                                     e.iters, 5, refine=True)
                 elif e.weak_depth and not self.mapping_first_frame_done:
                     self._map_frame(idx, color, sensor_depth, gt_c2w,
-                                    e.iters_first, 1)
+                                    e.iters_first, 1, lr_factor=lr_first)
                 else:
-                    outer = 3
+                    outer = 1 if self.nice else 3
                     self._map_frame(idx, color, sensor_depth, gt_c2w,
                                     max(e.iters // outer, 1), outer)
         self.timings["frames"] += 1
@@ -331,8 +414,18 @@ class PointNeRFSLAM:
             self.estimate_c2w_list[idx] = gt_c2w
             return
         t0 = time.time()
-        est_c2w, pseudo_ref, pseudo_cur = self.frontend.bootstrap(
-            self.frame_reader, 0, idx, self.estimate_c2w_list[0])
+        try:
+            est_c2w, pseudo_ref, pseudo_cur = self.frontend.bootstrap(
+                self.frame_reader, 0, idx, self.estimate_c2w_list[0])
+            self._bootstrapped = True
+        except RuntimeError as e:
+            # degenerate baseline (too little parallax yet): postpone the
+            # bootstrap to the next tracked frame — the baseline grows
+            print(f"Frontend bootstrap failed at {idx} ({e}); retrying at "
+                  f"the next tracked frame")
+            self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
+            self.timings["frontend"] += time.time() - t0
+            return
         self.estimate_c2w_list[idx] = est_c2w
         self.pseudo_depths[0] = pseudo_ref
         self.pseudo_depths[idx] = pseudo_cur

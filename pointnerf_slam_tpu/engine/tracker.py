@@ -50,12 +50,13 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
                                       ecfg.cx, ecfg.cy)
         return rays_o, rays_d, d, c
 
-    def loss_fn(cam_tensor, params, color, depth_sup, bound, key):
+    def loss_fn(cam_tensor, params, c_grid, color, depth_sup, bound, key):
         c2w = camera_from_tensor(cam_tensor)
         k_s, k_r = jax.random.split(key)
         rays_o, rays_d, gt_d, gt_c = sample_rays(k_s, color, depth_sup, c2w)
         dep, var, col, _ = render_rays(params, model_cfg, rcfg,
-                                       rays_o, rays_d, bound, k_r, gt_d)
+                                       rays_o, rays_d, bound, k_r, gt_d,
+                                       c_grid=c_grid, stage="color")
         var = jax.lax.stop_gradient(var)
         if ecfg.handle_dynamic:
             tmp = jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10)
@@ -74,7 +75,8 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
         return loss
 
     @jax.jit
-    def tracking_step(params, cam_tensor, color, depth_sup, bound, key):
+    def tracking_step(params, c_grid, cam_tensor, color, depth_sup, bound,
+                      key):
         """Refine one camera. Returns (best_cam, best_loss, first_loss)."""
         if ecfg.seperate_LR:
             tx = optax.multi_transform(
@@ -95,7 +97,8 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
             opt_vars, opt_state, best_cam, best_loss = carry
             cam = join(opt_vars)
             loss, grads = jax.value_and_grad(
-                lambda c: loss_fn(c, params, color, depth_sup, bound, k)
+                lambda c: loss_fn(c, params, c_grid, color, depth_sup,
+                                  bound, k)
             )(cam)
             improved = loss < best_loss
             best_cam = jnp.where(improved, cam, best_cam)

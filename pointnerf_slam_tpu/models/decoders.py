@@ -45,6 +45,9 @@ class MLPConfig:
     concat_feature: bool = False
     no_xyz: bool = False  # MLP_no_xyz variant: grid feature is the input
     grid_len: float = 0.16
+    # 'bfloat16' runs the hidden matmuls on the MXU in bf16 with f32
+    # accumulation (params stay f32) — ~4x matmul peak on v5e
+    compute_dtype: str = "float32"
 
     @property
     def embedding_size(self) -> int:
@@ -78,7 +81,10 @@ def _init_dense(key, in_dim: int, out_dim: int, activation: str = "relu"):
             "b": jnp.zeros((out_dim,))}
 
 
-def _dense(p, x):
+def _dense(p, x, dtype=None):
+    if dtype is not None and dtype != jnp.float32:
+        return jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                       preferred_element_type=jnp.float32) + p["b"]
     return x @ p["w"] + p["b"]
 
 
@@ -130,6 +136,7 @@ def apply_mlp(params, cfg: MLPConfig, p: jnp.ndarray,
     per-block Linear -> relu -> (+ fc_c[i](c)) -> (skip concat).
     """
     act = (lambda x: jax.nn.leaky_relu(x, 0.2)) if cfg.leaky else jax.nn.relu
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     c = None
     if cfg.no_xyz:
@@ -156,13 +163,13 @@ def apply_mlp(params, cfg: MLPConfig, p: jnp.ndarray,
         h = emb
 
     for i, layer in enumerate(params["layers"]):
-        h = act(_dense(layer, h))
+        h = act(_dense(layer, h, cdt))
         if cfg.c_dim != 0 and not cfg.no_xyz:
-            h = h + _dense(params["fc_c"][i], c)
+            h = h + _dense(params["fc_c"][i], c, cdt)
         if i in cfg.skips:
             h = jnp.concatenate([emb, h], axis=-1)
 
-    out = _dense(params["out"], h)
+    out = _dense(params["out"], h, cdt)
     if not cfg.color:
         out = out[..., 0]
     return out
@@ -272,5 +279,7 @@ def get_model(cfg: dict, nice: bool = False):
     mcfg = MLPConfig(dim=dim, c_dim=0, color=True,
                      hidden_size=cfg["model"].get("hidden_size", 256),
                      skips=(), n_blocks=cfg["model"].get("n_blocks", 4),
-                     pos_embedding_method=pos)
+                     pos_embedding_method=pos,
+                     compute_dtype=cfg["model"].get("compute_dtype",
+                                                    "float32"))
     return mcfg, (lambda key: init_mlp(key, mcfg))

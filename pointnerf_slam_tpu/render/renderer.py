@@ -41,6 +41,11 @@ class RenderConfig:
     lindisp: bool = False
     perturb: float = 0.0
     occupancy: bool = False
+    # reuse first-pass decoder outputs in the importance pass (numerically
+    # identical to the reference's full re-evaluation; trades MLP FLOPs for
+    # a gather). Measured on v5e: the gather costs MORE than the saved
+    # matmuls at 5k-ray batches (40 vs 55 it/s), so default off.
+    reuse_coarse: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "RenderConfig":
@@ -102,22 +107,37 @@ def render_rays(params, model_cfg, rcfg: RenderConfig, rays_o: jnp.ndarray,
         z_surf = surface_zvals(gt_depth, N_surface)
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=-1), axis=-1)
 
-    def composite(z):
+    def field(z):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
         raw = eval_points(params, model_cfg, pts.reshape(-1, 3), bound,
                           c_grid, stage)
-        raw = raw.reshape(z.shape + (4,))
-        return raw2outputs(raw, z, rays_d, occupancy=rcfg.occupancy)
+        return raw.reshape(z.shape + (4,))
 
-    depth, var, color, weights = composite(z_vals)
+    raw1 = field(z_vals)
+    depth, var, color, weights = raw2outputs(raw1, z_vals, rays_d,
+                                             occupancy=rcfg.occupancy)
 
     if rcfg.N_importance > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         z_samples = sample_pdf(k_imp, z_mid, weights[..., 1:-1],
                                rcfg.N_importance, det=(rcfg.perturb == 0.0))
-        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
-                          axis=-1)
-        depth, var, color, weights = composite(z_vals)
+        if rcfg.reuse_coarse:
+            # the reference re-evaluates ALL samples (Renderer.py:193-197);
+            # the first-pass raws are identical, so reuse them and evaluate
+            # only the N_importance new points, merging by the sort
+            # permutation — numerically identical, ~30% fewer decoder evals
+            raw2 = field(z_samples)
+            z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+            raw_cat = jnp.concatenate([raw1, raw2], axis=-2)
+            raw = jnp.take_along_axis(raw_cat, order[..., None], axis=-2)
+        else:
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
+                              axis=-1)
+            raw = field(z_vals)
+        depth, var, color, weights = raw2outputs(raw, z_vals, rays_d,
+                                                 occupancy=rcfg.occupancy)
 
     return depth, var, color, weights
 

@@ -205,7 +205,7 @@ class TestEndToEndTracked:
             pert[:3, 3] = [0.05, -0.03, 0.04]
             cam0 = tensor_from_camera(jnp.asarray(pert @ c2w))
             bound = jnp.asarray([[-2.2, 2.2]] * 3)
-            best, bl, fl = step(None, cam0, jnp.asarray(color),
+            best, bl, fl = step(None, {}, cam0, jnp.asarray(color),
                                 jnp.asarray(depth), bound,
                                 jax.random.PRNGKey(0))
             err0 = float(jnp.abs(cam0 - cam_gt).mean())

@@ -1,0 +1,81 @@
+"""NICE mode end-to-end: hierarchical feature grids, staged mapping
+(middle/fine/color with per-stage lrs), occupancy rendering, overlap
+keyframe selection, BA. Capability of configs/nice_slam.yaml."""
+
+import numpy as np
+
+from pointnerf_slam_tpu.engine import PointNeRFSLAM
+from tests.test_engine import tiny_cfg
+
+
+def nice_cfg(**over):
+    cfg = tiny_cfg(**over)
+    from pointnerf_slam_tpu.io.config import update_recursive
+    update_recursive(cfg, {
+        "nice": True,
+        "coarse": True,
+        "occupancy": True,
+        "weak_depth": False,
+        "grid_len": {"coarse": 1.2, "middle": 0.6, "fine": 0.4,
+                     "color": 0.4, "bound_divisible": 0.4},
+        "model": {"c_dim": 8, "hidden_size": 8},
+        "rendering": {"N_samples": 10, "N_surface": 6, "N_importance": 0},
+        "mapping": {"BA": True, "keyframe_selection_method": "overlap",
+                    "iters": 30, "iters_first": 60,
+                    "fix_fine": True, "fix_color": False},
+        "tracking": {"gt_camera": False, "iters": 6, "lr": 2e-3,
+                     "handle_dynamic": True},
+    })
+    return cfg
+
+
+class TestGrids:
+    def test_init_shapes(self):
+        import jax
+        from pointnerf_slam_tpu.models.grids import init_grids
+        cfg = nice_cfg()
+        bound = np.array(cfg["mapping"]["bound"], np.float32)
+        grids = init_grids(jax.random.PRNGKey(0), cfg, bound)
+        assert set(grids) == {"grid_coarse", "grid_middle", "grid_fine",
+                              "grid_color"}
+        # extent 4.4 / grid_len 0.4 -> 12 voxels (+1 node)
+        assert grids["grid_fine"].shape == (12, 12, 12, 8)
+        assert grids["grid_coarse"].shape[0] > grids["grid_middle"].shape[0] \
+            or grids["grid_coarse"].shape[0] >= 4  # enlarged coarse bound
+        assert float(np.abs(np.asarray(grids["grid_middle"])).mean()) < 0.05
+
+
+class TestNICEEndToEnd:
+    def test_runs_and_optimizes_grids(self):
+        cfg = nice_cfg(data={"n_frames": 7, "orbit": 0.04})
+        slam = PointNeRFSLAM(cfg)
+        g0 = {k: np.asarray(v).copy() for k, v in slam.c_grid.items()}
+        est, gt = slam.run()
+        assert np.isfinite(est).all()
+        # grids must have been optimized (middle + color at least)
+        moved = {k: float(np.abs(np.asarray(slam.c_grid[k]) - g0[k]).max())
+                 for k in g0}
+        assert moved["grid_middle"] > 1e-5, moved
+        assert moved["grid_fine"] > 1e-6, moved
+        assert moved["grid_color"] > 1e-6, moved
+        # coarse level is only optimized by the (dormant) coarse mapper —
+        # reference parity: the main mapper never trains it
+        # fix_fine=True: the fine decoder params must be untouched is hard to
+        # check here (init params not kept); grid movement suffices
+
+    def test_overlap_selection_prefers_covisible(self):
+        cfg = nice_cfg(data={"n_frames": 7, "orbit": 0.04})
+        slam = PointNeRFSLAM(cfg)
+        # two keyframes: one at the current pose, one far away/behind
+        _, color, depth, c2w = slam.frame_reader[0]
+        color_u8 = (np.asarray(color) * 255).astype(np.uint8)
+        far_c2w = c2w.copy()
+        far_c2w[:3, 3] += 50.0  # far outside the room
+        slam.keyframes.insert(0, color_u8, depth, slam._cam7(c2w),
+                              slam._cam7(c2w))
+        slam.keyframes.insert(1, color_u8, depth, slam._cam7(far_c2w),
+                              slam._cam7(far_c2w))
+        slam.keyframes.insert(2, color_u8, depth, slam._cam7(c2w),
+                              slam._cam7(c2w))
+        chosen = slam._overlap_select(color, depth, c2w, n_candidates=2, k=1)
+        assert chosen == [0]  # covisible keyframe wins over the far one
