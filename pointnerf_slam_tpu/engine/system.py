@@ -465,4 +465,7 @@ class PointNeRFSLAM:
                 self.logger.maybe_log(self, idx)
             if self.mesher is not None:
                 self.mesher.maybe_mesh(self, idx)
+            if getattr(self, "visualizer", None) is not None and idx > 0:
+                self.visualizer.vis(self, idx, depth, color,
+                                    self.estimate_c2w_list[idx])
         return self.estimate_c2w_list, self.gt_c2w_list

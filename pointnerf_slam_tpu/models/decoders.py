@@ -48,6 +48,13 @@ class MLPConfig:
     # 'bfloat16' runs the hidden matmuls on the MXU in bf16 with f32
     # accumulation (params stay f32) — ~4x matmul peak on v5e
     compute_dtype: str = "float32"
+    # fused Pallas kernel for the flagship config (TPU only; avoids HBM
+    # round-trips for layer activations — ops/fused_mlp.py). Measured on
+    # v5e: XLA's default lowering already overlaps the activation traffic
+    # (mapper 55 it/s plain vs 46 fused), so this stays off by default;
+    # kept as the substrate for a future fully-fused sample->MLP->composite
+    # megakernel.
+    fused: bool = False
 
     @property
     def embedding_size(self) -> int:
@@ -135,6 +142,11 @@ def apply_mlp(params, cfg: MLPConfig, p: jnp.ndarray,
     Mirrors the reference forward exactly (decoder.py:177-203,262-274):
     per-block Linear -> relu -> (+ fc_c[i](c)) -> (skip concat).
     """
+    if cfg.fused and jax.default_backend() == "tpu":
+        from ..ops.fused_mlp import fused_imap_mlp, supports_fused
+        if supports_fused(cfg):
+            return fused_imap_mlp(params, p)
+
     act = (lambda x: jax.nn.leaky_relu(x, 0.2)) if cfg.leaky else jax.nn.relu
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 

@@ -21,8 +21,13 @@ def init_fourier(key, num_input_channels: int = 3, mapping_size: int = 93,
 
 
 def apply_fourier(params, x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x @ B). x: (N, d) -> (N, mapping_size)."""
-    return jnp.sin(x @ params["B"])
+    """sin(x @ B). x: (N, d) -> (N, mapping_size).
+
+    The matmul runs at HIGHEST precision: B's scale-25 entries amplify
+    bf16 input rounding into ~0.05 rad phase errors through sin(); K=3 makes
+    full precision free."""
+    return jnp.sin(jnp.dot(x, params["B"],
+                           precision=jax.lax.Precision.HIGHEST))
 
 
 def nerf_positional_embedding(x: jnp.ndarray, multires: int,

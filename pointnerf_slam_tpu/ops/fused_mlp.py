@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernel for the iMAP* decoder MLP.
+
+The mapping/tracking iteration is ~50% HBM traffic for layer activations
+(measured: 540k points/iter x 256-wide x 4 layers ~ 7 GB/iter). This kernel
+keeps a tile of points resident in VMEM through embedding -> 4 hidden layers
+-> RGBA head (weights also VMEM-resident: ~0.9 MB), so HBM sees only the
+(N, 3) inputs and (N, 4) outputs. Custom VJP recomputes activations per tile
+in VMEM and accumulates weight gradients across the (sequential) TPU grid.
+
+Math is identical to models.decoders.apply_mlp for the flagship config
+(c_dim=0, fourier embedding, no skips): out = Wout·relu(W3·relu(W2·relu(
+W1·relu(W0·sin(B·x))))). Matmuls run in bf16 with f32 accumulation — the
+same lowering XLA picks for f32 matmuls on TPU by default.
+
+Layout: kernel params are padded once per step (pad_params):
+  Bp    (8, 128)    rows 0..2 = B (3, 93), rest zero
+  W0p   (128, 256)  rows 0..92 = W0, rest zero
+  W1..3 (256, 256)
+  Woutp (256, 128)  cols 0..3 = Wout, rest zero
+  biases as (1, 256) / (1, 128)
+Zero-padding is exact: sin(x·0) = 0 contributes nothing through zero rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024
+HID = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pad_params(params: dict) -> dict:
+    """Pad decoder params into the kernel layout (see module docstring)."""
+    B = params["embedder"]["B"]            # (3, 93)
+    emb = B.shape[1]
+    W0 = params["layers"][0]["w"]          # (93, 256)
+    Bp = jnp.zeros((8, 128)).at[:3, :emb].set(B)
+    W0p = jnp.zeros((128, HID)).at[:emb].set(W0)
+    Wout = params["out"]["w"]              # (256, 4)
+    Woutp = jnp.zeros((HID, 128)).at[:, :4].set(Wout)
+    boutp = jnp.zeros((1, 128)).at[0, :4].set(params["out"]["b"])
+    out = {"Bp": Bp, "W0p": W0p, "b0": params["layers"][0]["b"][None],
+           "Woutp": Woutp, "boutp": boutp}
+    for i in (1, 2, 3):
+        out[f"W{i}"] = params["layers"][i]["w"]
+        out[f"b{i}"] = params["layers"][i]["b"][None]
+    return out
+
+
+def unpad_grads(g: dict, emb: int = 93) -> dict:
+    """Kernel-layout gradients -> decoder-params pytree gradients."""
+    return {
+        "embedder": {"B": g["Bp"][:3, :emb]},
+        "layers": [
+            {"w": g["W0p"][:emb], "b": g["b0"][0]},
+            {"w": g["W1"], "b": g["b1"][0]},
+            {"w": g["W2"], "b": g["b2"][0]},
+            {"w": g["W3"], "b": g["b3"][0]},
+        ],
+        "out": {"w": g["Woutp"][:, :4], "b": g["boutp"][0, :4]},
+    }
+
+
+def _dot(a, b):
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a^T @ b without materializing the transpose (contract axis 0 x 0)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b^T without materializing the transpose (contract axis 1 x 1)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _dot_f32(a, b):
+    """Full-precision dot — for the Fourier embedding, whose large-scale B
+    (sigma 25) amplifies bf16 input rounding through sin()."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(x_ref, Bp, W0p, b0, W1, b1, W2, b2, W3, b3, Woutp, boutp,
+                out_ref):
+    x = x_ref[:]                                  # (T, 8)
+    emb = jnp.sin(_dot_f32(x, Bp[:]))             # (T, 128)
+    h = jnp.maximum(_dot(emb, W0p[:]) + b0[:], 0.0)
+    h = jnp.maximum(_dot(h, W1[:]) + b1[:], 0.0)
+    h = jnp.maximum(_dot(h, W2[:]) + b2[:], 0.0)
+    h = jnp.maximum(_dot(h, W3[:]) + b3[:], 0.0)
+    out_ref[:] = _dot(h, Woutp[:]) + boutp[:]     # (T, 128)
+
+
+def _bwd_kernel(x_ref, g_ref, Bp, W0p, b0, W1, b1, W2, b2, W3, b3, Woutp,
+                dx_ref, dBp_ref, dW0p_ref, db0_ref, dW1_ref, db1_ref,
+                dW2_ref, db2_ref, dW3_ref, db3_ref, dWoutp_ref, dboutp_ref):
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for r in (dBp_ref, dW0p_ref, db0_ref, dW1_ref, db1_ref, dW2_ref,
+                  db2_ref, dW3_ref, db3_ref, dWoutp_ref, dboutp_ref):
+            r[:] = jnp.zeros_like(r)
+
+    x = x_ref[:]
+    xb = _dot_f32(x, Bp[:])
+    emb = jnp.sin(xb)
+    # relu(z) > 0 <=> z > 0, so the activations double as the relu masks —
+    # halves live VMEM vs storing pre-activations
+    h0 = jnp.maximum(_dot(emb, W0p[:]) + b0[:], 0.0)
+    h1 = jnp.maximum(_dot(h0, W1[:]) + b1[:], 0.0)
+    h2 = jnp.maximum(_dot(h1, W2[:]) + b2[:], 0.0)
+    h3 = jnp.maximum(_dot(h2, W3[:]) + b3[:], 0.0)
+
+    g = g_ref[:]                                   # (T, 128)
+    dWoutp_ref[:] += _dot_tn(h3, g)
+    dboutp_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot_nt(g, Woutp[:]) * (h3 > 0)
+    dW3_ref[:] += _dot_tn(h2, dh)
+    db3_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, W3[:]) * (h2 > 0)
+    dW2_ref[:] += _dot_tn(h1, dh)
+    db2_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, W2[:]) * (h1 > 0)
+    dW1_ref[:] += _dot_tn(h0, dh)
+    db1_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, W1[:]) * (h0 > 0)
+    dW0p_ref[:] += _dot_tn(emb, dh)
+    db0_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    demb = _dot_nt(dh, W0p[:]) * jnp.cos(xb)
+    dBp_ref[:] += jax.lax.dot_general(
+        x, demb, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = jax.lax.dot_general(
+        demb, Bp[:], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(xp, kp):
+    n = xp.shape[0]
+    grid = n // TILE
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_full(kp[k].shape) for k in _KP_ORDER],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=_interpret(),
+    )(xp, *[kp[k] for k in _KP_ORDER])
+
+
+_KP_ORDER = ["Bp", "W0p", "b0", "W1", "b1", "W2", "b2", "W3", "b3",
+             "Woutp", "boutp"]
+_KP_BWD = ["Bp", "W0p", "b0", "W1", "b1", "W2", "b2", "W3", "b3", "Woutp"]
+
+
+def _bwd_call(xp, gp, kp):
+    n = xp.shape[0]
+    grid = n // TILE
+    out_shapes = [jax.ShapeDtypeStruct((n, 8), jnp.float32)] + [
+        jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
+        for k in _KP_ORDER]
+    out_specs = ([pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [_full(kp[k].shape) for k in _KP_ORDER])
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_full(kp[k].shape) for k in _KP_BWD],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(xp, gp, *[kp[k] for k in _KP_BWD])
+
+
+@jax.custom_vjp
+def fused_imap_mlp(params, pts):
+    """Fused decoder evaluation: pts (N, 3) -> raw (N, 4)."""
+    out, _ = _fused_fwd(params, pts)
+    return out
+
+
+def _pad_pts(pts):
+    n = pts.shape[0]
+    n_pad = (-n) % TILE
+    xp = jnp.zeros((n + n_pad, 8), pts.dtype).at[:n, :3].set(pts)
+    return xp, n
+
+
+def _fused_fwd(params, pts):
+    kp = pad_params(params)
+    xp, n = _pad_pts(pts)
+    out = _fwd_call(xp, kp)
+    return out[:n, :4], (params, pts)
+
+
+def _fused_bwd(res, g):
+    params, pts = res
+    kp = pad_params(params)
+    xp, n = _pad_pts(pts)
+    gp = jnp.zeros((xp.shape[0], 128), g.dtype).at[:n, :4].set(g)
+    outs = _bwd_call(xp, gp, kp)
+    dx = outs[0][:n, :3]
+    gk = dict(zip(_KP_ORDER, outs[1:]))
+    return unpad_grads(gk, emb=params["embedder"]["B"].shape[1]), dx
+
+
+fused_imap_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def supports_fused(model_cfg) -> bool:
+    """The fused kernel covers the flagship iMAP* configuration."""
+    return (getattr(model_cfg, "c_dim", None) == 0
+            and model_cfg.color
+            and model_cfg.pos_embedding_method == "fourier"
+            and model_cfg.skips == ()
+            and model_cfg.n_blocks == 4
+            and model_cfg.hidden_size == HID
+            and not model_cfg.leaky)

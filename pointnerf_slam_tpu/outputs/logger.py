@@ -64,7 +64,9 @@ def load_checkpoint(path: str, params_template):
 
 
 def attach_outputs(slam):
-    """Wire logger (and mesher, once available) into a PointNeRFSLAM."""
+    """Wire logger, mesher, and visualizer into a PointNeRFSLAM."""
+    import os
+
     cfg = slam.cfg
     slam.logger = Logger(slam.output, cfg["mapping"]["ckpt_freq"],
                          slam.n_img,
@@ -72,6 +74,11 @@ def attach_outputs(slam):
     try:
         from .mesher import Mesher
         slam.mesher = Mesher(slam.cfg, slam)
-    except ImportError:
+    except Exception as e:
+        print(f"mesher unavailable ({e}); meshing disabled")
         slam.mesher = None
+    from .visualizer import Visualizer
+    slam.visualizer = Visualizer(
+        cfg["mapping"]["vis_freq"],
+        os.path.join(slam.output, "mapping_vis"), slam.verbose)
     return slam
