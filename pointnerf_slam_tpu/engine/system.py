@@ -190,14 +190,20 @@ class PointNeRFSLAM:
         return self._mapper_steps[key]
 
     def _stage_schedule(self, num_iters: int):
-        """NICE stage split (Mapper.py:520-527); iMAP is single-stage."""
+        """NICE stage split (Mapper.py:520-527); iMAP is single-stage.
+        When `coarse` is enabled, the reference runs a third coarse-mapper
+        process in parallel (NICE_SLAM.py:342-353, dormant); here it is a
+        config-gated sequential coarse segment (SURVEY §2.4 P9)."""
         if not self.nice:
             return [("color", num_iters)]
         m = int(num_iters * self.ecfg.middle_iter_ratio)
         f = int(num_iters * self.ecfg.fine_iter_ratio) - m
         c = num_iters - m - f
-        return [(s, n) for s, n in
-                (("middle", m), ("fine", f), ("color", c)) if n > 0]
+        stages = [(s, n) for s, n in
+                  (("middle", m), ("fine", f), ("color", c)) if n > 0]
+        if self.cfg["coarse"] and "grid_coarse" in self.c_grid:
+            stages = [("coarse", max(num_iters // 3, 1))] + stages
+        return stages
 
     def _select_window(self, refine, cur_color, cur_depth, cur_c2w):
         """Window slots, 'global' random (Mapper.py:365-368) or 'overlap'
@@ -457,9 +463,16 @@ class PointNeRFSLAM:
             self.pseudo_depths[idx] = pseudo
         self.timings["frontend"] += time.time() - t0
 
-    def run(self):
-        for idx in range(self.n_img):
-            _, color, depth, gt_c2w = self.frame_reader[idx]
+    def run(self, start_idx: int = 0):
+        # host-side frame prefetch: load frame idx+1 while the device works
+        # on idx (SURVEY §2.4 P7 — the reference used DataLoader workers)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(self.frame_reader.__getitem__, start_idx)
+        for idx in range(start_idx, self.n_img):
+            _, color, depth, gt_c2w = pending.result()
+            if idx + 1 < self.n_img:
+                pending = pool.submit(self.frame_reader.__getitem__, idx + 1)
             self.step(idx, color, depth, gt_c2w)
             if self.logger is not None:
                 self.logger.maybe_log(self, idx)

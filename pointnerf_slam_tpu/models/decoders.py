@@ -280,6 +280,7 @@ def get_model(cfg: dict, nice: bool = False):
     if nice:
         mcfg = NICEConfig(
             dim=dim, c_dim=c_dim, coarse=cfg["coarse"],
+            hidden_size=cfg["model"].get("hidden_size", 32),
             coarse_grid_len=cfg["grid_len"]["coarse"],
             middle_grid_len=cfg["grid_len"]["middle"],
             fine_grid_len=cfg["grid_len"]["fine"],

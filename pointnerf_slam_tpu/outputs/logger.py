@@ -1,9 +1,12 @@
-"""Checkpoint logger (capability of src/utils/Logger.py:21-32).
+"""Checkpoint logger + resume (capability of src/utils/Logger.py:21-32,
+extended per SURVEY §5.4: the reference writes checkpoints but never reads
+them back into the SLAM loop — we support actual resume).
 
-Writes {decoder params, gt/estimated pose lists, keyframe index list,
-current idx} every ckpt_freq frames + at the final frame, to
-{output}/ckpts/{idx:05d}.npz — same cadence and content as the reference's
-.tar checkpoints (plus optimizer-free resume data). eval tools read these.
+Checkpoint content ({output}/ckpts/{idx:05d}.npz):
+  decoder params, NICE grids, gt/estimated pose lists, keyframe frame
+  indices + est/gt camera tensors, sparse pseudo-depth maps (weak mode),
+  current idx. Keyframe images are NOT stored — resume reloads them from
+  the dataset by frame index (they are deterministic reader outputs).
 """
 
 from __future__ import annotations
@@ -11,6 +14,20 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+
+def _tree_to_arrays(tree, prefix):
+    import jax
+    flat, _ = jax.tree_util.tree_flatten(tree)
+    return {f"{prefix}{i}": np.asarray(p) for i, p in enumerate(flat)}, \
+        len(flat)
+
+
+def _arrays_to_tree(z, prefix, n, template):
+    import jax
+    _, treedef = jax.tree_util.tree_flatten(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [z[f"{prefix}{i}"] for i in range(n)])
 
 
 class Logger:
@@ -26,7 +43,6 @@ class Logger:
         want = ((idx % self.ckpt_freq == 0
                  and not (idx == 0 and self.no_log_on_first_frame))
                 or idx == self.n_img - 1)
-        # match the reference cadence: only on mapping frames
         if idx % slam.ecfg.every_frame != 0 and idx != self.n_img - 1:
             want = False
         if not want:
@@ -34,39 +50,92 @@ class Logger:
         self.log(slam, idx)
 
     def log(self, slam, idx: int):
-        import jax
-        flat, treedef = jax.tree_util.tree_flatten(slam.params)
+        data = {"idx": idx,
+                "estimate_c2w_list": slam.estimate_c2w_list,
+                "gt_c2w_list": slam.gt_c2w_list,
+                "keyframe_list": np.asarray(slam.keyframes.frame_idx,
+                                            np.int64),
+                "kf_est_c2w": np.asarray(slam.keyframes.est_c2w),
+                "kf_gt_c2w": np.asarray(slam.keyframes.gt_c2w)}
+        p_arrays, n_p = _tree_to_arrays(slam.params, "param_")
+        data.update(p_arrays)
+        data["n_params"] = n_p
+        if slam.nice:
+            g_arrays, n_g = _tree_to_arrays(slam.c_grid, "grid_")
+            data.update(g_arrays)
+            data["n_grids"] = n_g
+        # sparse pseudo-depth maps (weak mode): ~1% density
+        for i, (fidx, pd) in enumerate(sorted(slam.pseudo_depths.items())):
+            pd = np.asarray(pd)
+            nz = np.flatnonzero(pd > 0)
+            data[f"pseudo_idx_{i}"] = np.asarray([fidx], np.int64)
+            data[f"pseudo_nz_{i}"] = nz.astype(np.int64)
+            data[f"pseudo_val_{i}"] = pd.reshape(-1)[nz]
+        data["n_pseudo"] = len(slam.pseudo_depths)
+
         path = os.path.join(self.output, "ckpts", f"{idx:05d}.npz")
-        np.savez_compressed(
-            path,
-            idx=idx,
-            estimate_c2w_list=slam.estimate_c2w_list,
-            gt_c2w_list=slam.gt_c2w_list,
-            keyframe_list=np.asarray(slam.keyframes.frame_idx, np.int64),
-            n_params=len(flat),
-            **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat)},
-        )
+        np.savez_compressed(path, **data)
         if slam.verbose:
             print(f"Saved checkpoint {path}")
 
 
 def load_checkpoint(path: str, params_template):
     """Restore (params, estimate_c2w_list, gt_c2w_list, keyframe_list, idx)."""
-    import jax
     z = np.load(path)
-    flat, treedef = jax.tree_util.tree_flatten(params_template)
-    n = int(z["n_params"])
-    assert n == len(flat), f"param count mismatch {n} != {len(flat)}"
-    params = jax.tree_util.tree_unflatten(
-        treedef, [z[f"param_{i}"] for i in range(n)])
+    params = _arrays_to_tree(z, "param_", int(z["n_params"]),
+                             params_template)
     return (params, z["estimate_c2w_list"], z["gt_c2w_list"],
             z["keyframe_list"], int(z["idx"]))
 
 
+def resume_slam(slam, path: str) -> int:
+    """Restore a PointNeRFSLAM from a checkpoint; returns the next frame
+    index to process."""
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    slam.params = _arrays_to_tree(z, "param_", int(z["n_params"]),
+                                  slam.params)
+    if slam.nice and "n_grids" in z:
+        slam.c_grid = _arrays_to_tree(z, "grid_", int(z["n_grids"]),
+                                      slam.c_grid)
+    idx = int(z["idx"])
+    n = min(len(z["estimate_c2w_list"]), slam.n_img)
+    slam.estimate_c2w_list[:n] = z["estimate_c2w_list"][:n]
+    slam.gt_c2w_list[:n] = z["gt_c2w_list"][:n]
+
+    # pseudo depths (sparse)
+    H, W = slam.H, slam.W
+    for i in range(int(z.get("n_pseudo", 0))):
+        fidx = int(z[f"pseudo_idx_{i}"][0])
+        pd = np.zeros(H * W, np.float32)
+        pd[z[f"pseudo_nz_{i}"]] = z[f"pseudo_val_{i}"]
+        slam.pseudo_depths[fidx] = jnp.asarray(pd.reshape(H, W))
+    if slam.pseudo_depths:
+        slam._bootstrapped = True
+        if slam.frontend is not None:
+            # reseed the frontend's reference frame for continuous mode
+            last = max(slam.pseudo_depths)
+            _, color, _, _ = slam.frame_reader[last]
+            slam.frontend.prev = {"frame_idx": last,
+                                  "feats": slam.frontend._extract(color)}
+            slam.frontend.depth_scale = 1.0  # carried implicitly by poses
+
+    # keyframes: reload images from the dataset by frame index
+    for slot, fidx in enumerate(z["keyframe_list"].tolist()):
+        _, color, depth, _ = slam.frame_reader[fidx]
+        color_u8 = np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8)
+        slam.keyframes.insert(
+            fidx, color_u8, jnp.asarray(depth),
+            jnp.asarray(z["kf_est_c2w"][slot]),
+            jnp.asarray(z["kf_gt_c2w"][slot]),
+            pseudo_depth=slam.pseudo_depths.get(fidx))
+    slam.mapping_first_frame_done = len(slam.keyframes) > 0
+    return idx + 1
+
+
 def attach_outputs(slam):
     """Wire logger, mesher, and visualizer into a PointNeRFSLAM."""
-    import os
-
     cfg = slam.cfg
     slam.logger = Logger(slam.output, cfg["mapping"]["ckpt_freq"],
                          slam.n_img,

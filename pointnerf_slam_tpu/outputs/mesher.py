@@ -136,6 +136,7 @@ class Mesher:
         self.resolution = m["resolution"]
         self.level_set = m["level_set"]
         self.clean_mesh = m["clean_mesh"]
+        self.clean_mesh_bound_scale = m["clean_mesh_bound_scale"]
         self.color_method = m["color_mesh_extraction_method"]
         self.mesh_freq = cfg["mapping"]["mesh_freq"]
         self.eval_rec = m["eval_rec"]
@@ -202,6 +203,28 @@ class Mesher:
             mask |= ok & (u >= 0) & (u < W) & (vv >= 0) & (vv < H)
         return mask
 
+    def bound_hull(self, slam):
+        """TSDF-fused convex-hull scene bound (get_bound_from_frames
+        capability, Mesher.py:214-279). None when unavailable."""
+        n_kf = len(slam.keyframes)
+        if n_kf == 0:
+            return None
+        try:
+            from ..core.se3 import camera_from_tensor, to_homogeneous
+            from .tsdf import scene_bound_hull
+            import jax.numpy as jnp
+            depths = slam.keyframes.depth[:n_kf]
+            c2ws = to_homogeneous(
+                camera_from_tensor(slam.keyframes.est_c2w[:n_kf]))
+            return scene_bound_hull(
+                depths, c2ws, slam.fx, slam.fy, slam.cx, slam.cy,
+                np.asarray(slam.bound),
+                scale=self.clean_mesh_bound_scale)
+        except Exception as e:
+            if self.verbose:
+                print(f"Mesher: TSDF hull unavailable ({e})")
+            return None
+
     # -- color ------------------------------------------------------------------
     def color_vertices(self, slam, verts_world, tris):
         from ..render.renderer import eval_points, render_rays
@@ -247,6 +270,9 @@ class Mesher:
 
         if clean if clean is not None else self.clean_mesh:
             keep = self.seen_mask(slam, verts)
+            hull = self.bound_hull(slam)
+            if hull is not None:
+                keep &= hull(verts)
             verts, tris = filter_mesh(verts, tris, keep)
         if len(verts) == 0:
             print("Mesher: all vertices culled")

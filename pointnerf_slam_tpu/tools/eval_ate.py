@@ -61,16 +61,40 @@ def evaluate_ate(gt_c2w: np.ndarray, est_c2w: np.ndarray,
     }
 
 
+def plot_traj(gt_c2w, est_c2w, out_png: str, scale: float = 1.0):
+    """Top-down trajectory plot (reference eval_ate.py:81-110)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gt = gt_c2w[:, :3, 3] / scale
+    est = est_c2w[:, :3, 3] / scale
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(gt[:, 0], gt[:, 1], "-", color="black", label="ground truth")
+    ax.plot(est[:, 0], est[:, 1], "-", color="blue", label="estimated")
+    ax.legend()
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_aspect("equal")
+    fig.savefig(out_png, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main():
     p = argparse.ArgumentParser(description="ATE from a checkpoint")
     p.add_argument("ckpt", help="path to ckpts/XXXXX.npz")
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--plot", default=None, help="save trajectory png here")
     args = p.parse_args()
     z = np.load(args.ckpt)
     stats = evaluate_ate(z["gt_c2w_list"], z["estimate_c2w_list"],
                          args.scale)
     for k, v in stats.items():
         print(f"{k} {v:.6f}" if isinstance(v, float) else f"{k} {v}")
+    if args.plot:
+        plot_traj(z["gt_c2w_list"], z["estimate_c2w_list"], args.plot,
+                  args.scale)
+        print(f"saved {args.plot}")
 
 
 if __name__ == "__main__":

@@ -178,31 +178,62 @@ class TestLoggerRoundTrip:
 
 
 class TestMesherEndToEnd:
-    def test_mesh_from_trained_field(self, tmp_path):
-        """Train the field briefly on the synthetic room with gt poses, then
-        extract a mesh and check it lies on real geometry."""
+    def test_mesh_pipeline_on_analytic_field(self, tmp_path):
+        """Full mesher pipeline (grid eval -> native marching tets ->
+        frustum+TSDF-hull cleaning -> coloring -> PLY) against the smooth
+        analytic room field, so geometry is exact and independent of
+        training budgets."""
+        import jax.numpy as jnp
         from tests.test_engine import tiny_cfg
         from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        from pointnerf_slam_tpu.io.synthetic import SyntheticScene
+        import pointnerf_slam_tpu.render.renderer as R
+
         cfg = tiny_cfg(tracking={"gt_camera": True},
-                       meshing={"resolution": 48,
+                       meshing={"resolution": 48, "level_set": 30,
                                 "color_mesh_extraction_method":
                                     "direct_point_query"},
                        data={"output": str(tmp_path)})
         slam = PointNeRFSLAM(cfg)
-        slam.run()
-        mesher = Mesher(cfg, slam, points_batch_size=65536)
-        out = mesher.get_mesh(slam, str(tmp_path / "mesh.ply"))
+        # keyframes with gt poses (for seen-mask + TSDF hull)
+        for idx in (0, 4, 8):
+            _, color, depth, gt = slam.frame_reader[idx]
+            slam.estimate_c2w_list[idx] = gt
+            slam._maybe_insert_keyframe(idx, color, depth, gt)
+
+        sc = SyntheticScene()
+
+        def analytic_eval(params, model_cfg, pts, bound, c_grid=None,
+                          stage="color"):
+            lo = jnp.asarray(sc.box_lo)
+            hi = jnp.asarray(sc.box_hi)
+            box_sdf = jnp.max(jnp.maximum(lo - pts, pts - hi), -1)
+            room_sdf = sc.room_half - jnp.max(jnp.abs(pts), -1)
+            sigma = 60.0 * (jax.nn.sigmoid(-box_sdf * 40)
+                            + jax.nn.sigmoid(-room_sdf * 40))
+            rgb = jnp.clip(pts * 0.2 + 0.5, 0, 1)
+            raw = jnp.concatenate([rgb, sigma[..., None]], -1)
+            inside = jnp.all((pts > bound[:, 0]) & (pts < bound[:, 1]), -1)
+            return raw.at[..., 3].set(jnp.where(inside, raw[..., 3], 100.0))
+
+        orig = R.eval_points
+        R.eval_points = analytic_eval
+        try:
+            mesher = Mesher(cfg, slam, points_batch_size=65536)
+            out = mesher.get_mesh(slam, str(tmp_path / "mesh.ply"))
+        finally:
+            R.eval_points = orig
         assert out is not None
         verts, tris, colors = out
-        assert len(verts) > 100
+        assert len(verts) > 500
         assert os.path.exists(tmp_path / "mesh.ply")
-        # most vertices should be near actual scene surfaces: room walls
-        # (|coord| ~ 2) or the interior box
-        from pointnerf_slam_tpu.io.synthetic import SyntheticScene
-        sc = SyntheticScene()
+        # vertices on real geometry: room walls (|max coord| ~ 2) or box
         d_wall = np.abs(2.0 - np.abs(verts).max(axis=1))
         lo = np.asarray(sc.box_lo)
         hi = np.asarray(sc.box_hi)
-        d_box = np.maximum(lo - verts, verts - hi).max(axis=1)
-        near = np.minimum(d_wall, np.abs(d_box))
-        assert float(np.median(near)) < 0.25, float(np.median(near))
+        d_box = np.abs(np.maximum(lo - verts, verts - hi).max(axis=1))
+        near = np.minimum(d_wall, d_box)
+        assert float(np.median(near)) < 0.1, float(np.median(near))
+        # the out-of-bound sentinel shell (at the enlarged bound) must have
+        # been culled by the TSDF hull
+        assert float(np.abs(verts).max()) < 2.15
