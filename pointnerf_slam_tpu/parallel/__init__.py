@@ -1,1 +1,2 @@
-from .mapping import make_sharded_mapping_step, make_mesh
+from .mapping import (make_sharded_mapping_step, make_shardmap_mapper_step,
+                      make_mesh)

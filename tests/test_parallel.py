@@ -1,0 +1,95 @@
+"""Multi-device + multi-scene tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf_slam_tpu.engine.state import EngineConfig
+from pointnerf_slam_tpu.models import MLPConfig, init_mlp
+from pointnerf_slam_tpu.parallel import (make_mesh,
+                                         make_sharded_mapping_step,
+                                         make_shardmap_mapper_step)
+from pointnerf_slam_tpu.parallel.multiscene import (
+    make_multiscene_mapper_step, stack_scenes)
+from pointnerf_slam_tpu.render import RenderConfig
+
+MODEL = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=32, skips=(),
+                  n_blocks=2)
+RCFG = RenderConfig(N_samples=8, N_surface=0, N_importance=4)
+BOUND = jnp.asarray([[-4.0, 4.0]] * 3)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+    return make_mesh(8)
+
+
+class TestShardedMapping:
+    def test_pjit_ray_sharded_step(self, mesh):
+        params = init_mlp(jax.random.PRNGKey(0), MODEL)
+        step, init_opt, shard = make_sharded_mapping_step(MODEL, RCFG, mesh)
+        n = 64
+        key = jax.random.PRNGKey(1)
+        rays_o = shard(jnp.zeros((n, 3)))
+        rays_d = shard(jnp.concatenate(
+            [jax.random.normal(key, (n, 2)) * 0.3, -jnp.ones((n, 1))], -1))
+        gt_d = shard(jnp.full((n,), 1.5))
+        gt_c = shard(jnp.full((n, 3), 0.5))
+        params0 = jax.tree_util.tree_map(np.asarray, params)  # donated below
+        p, st, loss = step(params, init_opt(params), rays_o, rays_d, gt_d,
+                           gt_c, BOUND, key)
+        assert np.isfinite(float(loss))
+        # params must have changed (gradient actually applied)
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), p, params0)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    def test_shardmap_full_step_matches_gradient_semantics(self, mesh):
+        """psum over shards must equal the single-device gradient over the
+        union of the shards' rays in expectation; here we check the step
+        runs and produces finite, nonzero updates."""
+        H, W, F = 16, 24, 2
+        ecfg = EngineConfig(H=H, W=W, fx=12.0, fy=12.0, cx=11.5, cy=7.5,
+                            mapping_pixels=8 * 8, weak_depth=False,
+                            depth_supervision=True)
+        step, init_opt = make_shardmap_mapper_step(MODEL, RCFG, mesh, ecfg,
+                                                   F)
+        key = jax.random.PRNGKey(0)
+        params = init_mlp(key, MODEL)
+        colors = (jax.random.uniform(key, (F, H, W, 3)) * 255).astype(
+            jnp.uint8)
+        depths = jax.random.uniform(key, (F, H, W), minval=0.5, maxval=3.0)
+        cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 2.5]), (F, 1))
+        p, st, loss = step(params, init_opt(params), colors, depths, cams,
+                           jnp.ones((F,), bool), BOUND, key)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p, params)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+class TestMultiScene:
+    def test_two_scenes_optimize_independently(self):
+        H, W, F, S = 16, 24, 2, 2
+        ecfg = EngineConfig(H=H, W=W, fx=12.0, fy=12.0, cx=11.5, cy=7.5,
+                            mapping_pixels=64, weak_depth=False,
+                            depth_supervision=True)
+        step = make_multiscene_mapper_step(MODEL, RCFG, ecfg, F)
+        keys = jax.random.split(jax.random.PRNGKey(0), S)
+        params = stack_scenes([init_mlp(k, MODEL) for k in keys])
+        colors = (jax.random.uniform(keys[0], (S, F, H, W, 3)) * 255
+                  ).astype(jnp.uint8)
+        # scene 0 near depth, scene 1 far depth -> different losses
+        depths = jnp.stack([
+            jnp.full((F, H, W), 1.0), jnp.full((F, H, W), 3.0)])
+        cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 2.5]), (S, F, 1))
+        valid = jnp.ones((S, F), bool)
+        ba = jnp.zeros((S, F), bool)
+        bounds = jnp.tile(BOUND, (S, 1, 1))
+        p, g, c, losses = step(params, {}, colors, depths, cams, valid, ba,
+                               bounds, keys, 5)
+        assert losses.shape == (S, 5)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert abs(float(losses[0, -1]) - float(losses[1, -1])) > 1e-3
