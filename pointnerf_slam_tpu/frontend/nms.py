@@ -87,9 +87,9 @@ def octree_nms(kps: np.ndarray, scores: np.ndarray, valid: np.ndarray,
     while len(boxes) < k:
         # split the box with the most keypoints
         boxes.sort(key=lambda b: -len(b[4]))
-        x, y, w, h, ids = boxes[0]
-        if len(ids) <= 1:
+        if not boxes or len(boxes[0][4]) <= 1 or boxes[0][2] < 2:
             break
+        x, y, w, h, ids = boxes[0]
         boxes = boxes[1:]
         hw, hh = w / 2, h / 2
         for dx, dy in ((0, 0), (hw, 0), (0, hh), (hw, hh)):
