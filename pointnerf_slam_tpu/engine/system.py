@@ -446,6 +446,13 @@ class PointNeRFSLAM:
             print(f"Frontend bootstrap {idx}: {t['n_matches']} matches, "
                   f"{t['n_inliers']} inliers, {t['n_accept']} triangulated, "
                   f"scale {t['scale']:.3f}")
+            # pose-error telemetry vs gt (Tracker.py:773-778)
+            from ..frontend.frontend import compute_pose_error
+            rel_est = est_c2w @ np.linalg.inv(self.estimate_c2w_list[0])
+            rel_gt = gt_c2w @ np.linalg.inv(self.gt_c2w_list[0])
+            err_t, err_r = compute_pose_error(rel_est, rel_gt)
+            print(f"Translation from 0 to {idx} translation error: "
+                  f"{err_t:.2f} rotation error: {err_r:.2f}")
         self.timings["frontend"] += time.time() - t0
 
     def _frontend_frame(self, idx, color):

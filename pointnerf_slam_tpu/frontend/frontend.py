@@ -38,6 +38,20 @@ from .triangulate import point_checks, triangulate_points
 _F4 = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
 
 
+def compute_pose_error(T_rel_est: np.ndarray, T_rel_gt: np.ndarray):
+    """SuperGlue-style angular pose errors (Tracker.py:362-396): translation
+    direction angle (with the E-ambiguity fold at 180 deg) and rotation
+    angle, both in degrees."""
+    t = T_rel_est[:3, 3]
+    t_gt = T_rel_gt[:3, 3]
+    n = np.linalg.norm(t) * np.linalg.norm(t_gt)
+    err_t = np.degrees(np.arccos(np.clip(t @ t_gt / max(n, 1e-12), -1, 1)))
+    err_t = min(err_t, 180.0 - err_t)  # essential-matrix sign ambiguity
+    cos = (np.trace(T_rel_est[:3, :3].T @ T_rel_gt[:3, :3]) - 1) / 2
+    err_r = np.degrees(np.abs(np.arccos(np.clip(cos, -1.0, 1.0))))
+    return float(err_t), float(err_r)
+
+
 def nerf_c2w_to_cv_w2c(c2w_nerf: np.ndarray) -> np.ndarray:
     return _F4 @ np.asarray(inv_T(jnp.asarray(c2w_nerf, jnp.float32)))
 

@@ -13,7 +13,7 @@ W1·relu(W0·sin(B·x))))). Matmuls run in bf16 with f32 accumulation — the
 same lowering XLA picks for f32 matmuls on TPU by default.
 
 Layout: kernel params are padded once per step (pad_params):
-  Bp    (8, 128)    rows 0..2 = B (3, 93), rest zero
+  Bp    (4, 128)    rows 0..2 = B (3, 93), rest zero
   W0p   (128, 256)  rows 0..92 = W0, rest zero
   W1..3 (256, 256)
   Woutp (256, 128)  cols 0..3 = Wout, rest zero
@@ -44,11 +44,12 @@ def pad_params(params: dict) -> dict:
     B = params["embedder"]["B"]            # (3, 93)
     emb = B.shape[1]
     W0 = params["layers"][0]["w"]          # (93, 256)
-    Bp = jnp.zeros((8, 128)).at[:3, :emb].set(B)
+    Bp = jnp.zeros((4, 128)).at[:3, :emb].set(B)
     W0p = jnp.zeros((128, HID)).at[:emb].set(W0)
     Wout = params["out"]["w"]              # (256, 4)
     Woutp = jnp.zeros((HID, 128)).at[:, :4].set(Wout)
     boutp = jnp.zeros((1, 128)).at[0, :4].set(params["out"]["b"])
+    # (the out head stays 128-wide for the MXU; only 8 columns leave VMEM)
     out = {"Bp": Bp, "W0p": W0p, "b0": params["layers"][0]["b"][None],
            "Woutp": Woutp, "boutp": boutp}
     for i in (1, 2, 3):
@@ -100,13 +101,14 @@ def _dot_f32(a, b):
 
 def _fwd_kernel(x_ref, Bp, W0p, b0, W1, b1, W2, b2, W3, b3, Woutp, boutp,
                 out_ref):
-    x = x_ref[:]                                  # (T, 8)
+    x = x_ref[:]                                  # (T, 4)
     emb = jnp.sin(_dot_f32(x, Bp[:]))             # (T, 128)
     h = jnp.maximum(_dot(emb, W0p[:]) + b0[:], 0.0)
     h = jnp.maximum(_dot(h, W1[:]) + b1[:], 0.0)
     h = jnp.maximum(_dot(h, W2[:]) + b2[:], 0.0)
     h = jnp.maximum(_dot(h, W3[:]) + b3[:], 0.0)
-    out_ref[:] = _dot(h, Woutp[:]) + boutp[:]     # (T, 128)
+    out = _dot(h, Woutp[:]) + boutp[:]            # (T, 128)
+    out_ref[:] = out[:, :4]
 
 
 def _bwd_kernel(x_ref, g_ref, Bp, W0p, b0, W1, b1, W2, b2, W3, b3, Woutp,
@@ -130,7 +132,8 @@ def _bwd_kernel(x_ref, g_ref, Bp, W0p, b0, W1, b1, W2, b2, W3, b3, Woutp,
     h2 = jnp.maximum(_dot(h1, W2[:]) + b2[:], 0.0)
     h3 = jnp.maximum(_dot(h2, W3[:]) + b3[:], 0.0)
 
-    g = g_ref[:]                                   # (T, 128)
+    g4 = g_ref[:]                                  # (T, 4)
+    g = jnp.pad(g4, ((0, 0), (0, 124)))            # back to head width
     dWoutp_ref[:] += _dot_tn(h3, g)
     dboutp_ref[:] += jnp.sum(g, axis=0, keepdims=True)
     dh = _dot_nt(g, Woutp[:]) * (h3 > 0)
@@ -167,12 +170,12 @@ def _fwd_call(xp, kp):
     return pl.pallas_call(
         _fwd_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [_full(kp[k].shape) for k in _KP_ORDER],
-        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         interpret=_interpret(),
     )(xp, *[kp[k] for k in _KP_ORDER])
 
@@ -185,18 +188,18 @@ _KP_BWD = ["Bp", "W0p", "b0", "W1", "b1", "W2", "b2", "W3", "b3", "Woutp"]
 def _bwd_call(xp, gp, kp):
     n = xp.shape[0]
     grid = n // TILE
-    out_shapes = [jax.ShapeDtypeStruct((n, 8), jnp.float32)] + [
+    out_shapes = [jax.ShapeDtypeStruct((n, 4), jnp.float32)] + [
         jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
         for k in _KP_ORDER]
-    out_specs = ([pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+    out_specs = ([pl.BlockSpec((TILE, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [_full(kp[k].shape) for k in _KP_ORDER])
     return pl.pallas_call(
         _bwd_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                  pl.BlockSpec((TILE, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [_full(kp[k].shape) for k in _KP_BWD],
         out_specs=out_specs,
@@ -215,7 +218,8 @@ def fused_imap_mlp(params, pts):
 def _pad_pts(pts):
     n = pts.shape[0]
     n_pad = (-n) % TILE
-    xp = jnp.zeros((n + n_pad, 8), pts.dtype).at[:n, :3].set(pts)
+    # cheap structured pad (one col + tail rows) instead of a zeros+scatter
+    xp = jnp.pad(pts, ((0, n_pad), (0, 1)))
     return xp, n
 
 
@@ -230,7 +234,7 @@ def _fused_bwd(res, g):
     params, pts = res
     kp = pad_params(params)
     xp, n = _pad_pts(pts)
-    gp = jnp.zeros((xp.shape[0], 128), g.dtype).at[:n, :4].set(g)
+    gp = jnp.pad(g, ((0, xp.shape[0] - n), (0, 0)))
     outs = _bwd_call(xp, gp, kp)
     dx = outs[0][:n, :3]
     gk = dict(zip(_KP_ORDER, outs[1:]))
