@@ -50,10 +50,11 @@ def pad_params(params: dict) -> dict:
     Woutp = jnp.zeros((HID, 128)).at[:, :4].set(Wout)
     boutp = jnp.zeros((1, 128)).at[0, :4].set(params["out"]["b"])
     # (the out head stays 128-wide for the MXU; only 8 columns leave VMEM)
-    out = {"Bp": Bp, "W0p": W0p, "b0": params["layers"][0]["b"][None],
-           "Woutp": Woutp, "boutp": boutp}
+    out = {"Bp": Bp, "W0p": W0p.astype(jnp.bfloat16),
+           "b0": params["layers"][0]["b"][None],
+           "Woutp": Woutp.astype(jnp.bfloat16), "boutp": boutp}
     for i in (1, 2, 3):
-        out[f"W{i}"] = params["layers"][i]["w"]
+        out[f"W{i}"] = params["layers"][i]["w"].astype(jnp.bfloat16)
         out[f"b{i}"] = params["layers"][i]["b"][None]
     return out
 
@@ -73,6 +74,8 @@ def unpad_grads(g: dict, emb: int = 93) -> dict:
 
 
 def _dot(a, b):
+    # weights arrive pre-cast to bf16 (pad_params) so only activations cast
+    # per tile
     return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
 

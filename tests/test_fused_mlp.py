@@ -87,7 +87,12 @@ class TestFusedBackward:
         back = unpad_grads(kp)
         np.testing.assert_allclose(back["embedder"]["B"],
                                    params["embedder"]["B"])
-        np.testing.assert_allclose(back["layers"][0]["w"],
-                                   params["layers"][0]["w"])
-        np.testing.assert_allclose(back["out"]["w"], params["out"]["w"])
+        # weights are pre-cast to bf16 in the kernel layout (one cast per
+        # step instead of per tile); biases and B stay f32
+        np.testing.assert_allclose(
+            np.asarray(back["layers"][0]["w"], np.float32),
+            params["layers"][0]["w"], atol=0, rtol=8e-3)
+        np.testing.assert_allclose(
+            np.asarray(back["out"]["w"], np.float32), params["out"]["w"],
+            atol=0, rtol=8e-3)
         np.testing.assert_allclose(back["out"]["b"], params["out"]["b"])
