@@ -18,3 +18,16 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name in ("PointNeRFSLAM", "pointNeRF_SLAM"):
+        # `pointNeRF_SLAM` mirrors the reference's cleaned second-iteration
+        # class name (my/pointNeRF_SLAM.py:20)
+        from .engine import PointNeRFSLAM
+        return PointNeRFSLAM
+    if name == "load_config":
+        from .io.config import load_config
+        return load_config
+    raise AttributeError(name)

@@ -67,6 +67,11 @@ class SparseFrontend:
         self.depth_patch = cfg.get("depth_patch", 5)
         self.nn_thresh = cfg.get("nn_thresh", 0.7)
         self.max_kps = cfg.get("num_features", 1000)
+        # bundle_loss (configs/pointNeRF_slam.yaml:4): the reference sets it
+        # True but its g2o calls are commented out (src/map.py:320-337) —
+        # here the flag actually runs motion-only LM pose refinement against
+        # the triangulated points after the two-view solve (PARITY.md)
+        self.bundle_loss = cfg.get("bundle_loss", True)
         # reference (pyslam kRansacThresholdNormalized) uses 3e-4, tuned for
         # fx~600 with sub-pixel SuperPoint corners; integer-pixel detectors
         # at low focal need at least ~1px/fx
@@ -145,6 +150,21 @@ class SparseFrontend:
         C_cur_s = C_ref + s * (C_cur - C_ref)
         Tcw_cur_cv = Tcw_cur_cv.copy()
         Tcw_cur_cv[:3, 3] = -Tcw_cur_cv[:3, :3] @ C_cur_s
+
+        if self.bundle_loss and acc_np.sum() >= 8:
+            # motion-only LM against the (scaled) triangulated points
+            from ..core.se3 import camera_from_tensor, tensor_from_camera, \
+                to_homogeneous
+            from .ba import pose_optimization
+            pts_scaled = C_ref + s * (np.asarray(pts3d) - C_ref)
+            cam0 = tensor_from_camera(jnp.asarray(Tcw_cur_cv, jnp.float32))
+            sigma2 = (1.0 / self.fx) ** 2
+            cam, inl, n_in = pose_optimization(
+                cam0, jnp.asarray(pts_scaled, jnp.float32), kpn_cur,
+                jnp.asarray(acc_np), sigma2=sigma2)
+            if int(n_in) >= 8:
+                Tcw_cur_cv = np.asarray(to_homogeneous(
+                    camera_from_tensor(cam)))
 
         # depths scale linearly with the baseline; projections unchanged
         uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
