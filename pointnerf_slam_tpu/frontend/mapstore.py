@@ -19,7 +19,6 @@ Python structures (SURVEY §2.4 P8). Geometry stays batched/NumPy.
 
 from __future__ import annotations
 
-import dataclasses
 from collections import deque
 from typing import Dict, List, Optional
 

@@ -88,8 +88,6 @@ def propagate_map_point_matches(ref_has_point, idx_ref, idx_cur,
 
     Returns (cur_kp_point_src (K_cur,), valid (K_cur,)) where point_src is
     the ref keypoint index whose map point propagates, -1 otherwise."""
-    k_cur = idx_cur.shape[0] if idx_cur.ndim else 0
-    out = jnp.full((match_valid.shape[0],), -1, jnp.int32)
     ok = match_valid & ref_has_point[idx_ref]
     return jnp.where(ok, idx_ref, -1), ok
 

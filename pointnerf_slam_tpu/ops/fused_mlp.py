@@ -23,7 +23,6 @@ Zero-padding is exact: sin(x·0) = 0 contributes nothing through zero rows.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

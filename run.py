@@ -24,6 +24,45 @@ def setup_seed(seed):
     np.random.seed(seed)
 
 
+def supervise(args) -> int:
+    """Elastic recovery loop (SURVEY §5.3 — the reference writes checkpoints
+    but has no recovery; we restart a crashed run from the latest one)."""
+    import glob
+    import subprocess
+    import sys
+
+    base = [sys.executable, __file__, args.config]
+    if args.input_folder:
+        base += ["--input_folder", args.input_folder]
+    if args.output:
+        base += ["--output", args.output]
+    if args.n_frames:
+        base += ["--n_frames", str(args.n_frames)]
+
+    from pointnerf_slam_tpu.io.config import load_config
+    out = args.output or load_config(args.config)["data"]["output"]
+
+    resume = args.resume
+    for attempt in range(args.max_restarts + 1):
+        cmd = list(base)
+        if resume:
+            cmd += ["--resume", resume]
+        print(f"[supervisor] attempt {attempt}: {' '.join(cmd[2:])}")
+        rc = subprocess.run(cmd).returncode
+        if rc == 0:
+            return 0
+        ckpts = sorted(glob.glob(os.path.join(out, "ckpts", "*.npz")))
+        if not ckpts:
+            print("[supervisor] crashed before the first checkpoint; "
+                  "restarting from scratch")
+            resume = None
+        else:
+            resume = ckpts[-1]
+            print(f"[supervisor] crashed (rc={rc}); resuming from {resume}")
+    print("[supervisor] restart budget exhausted")
+    return 1
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="TPU-native pointNeRF-SLAM.")
@@ -38,7 +77,16 @@ def main():
                         help="checkpoint npz to resume from.")
     parser.add_argument("--profile", type=str, default=None,
                         help="dump a JAX profiler trace to this directory.")
+    parser.add_argument("--max_restarts", type=int, default=0,
+                        help="elastic recovery: on a device/runtime crash, "
+                             "relaunch from the latest checkpoint up to N "
+                             "times (a PJRT client cannot be revived "
+                             "in-process, so recovery is supervised "
+                             "re-execution + checkpoint resume).")
     args = parser.parse_args()
+
+    if args.max_restarts > 0:
+        raise SystemExit(supervise(args))
 
     setup_seed(1219)
     cfg = load_config(args.config)
