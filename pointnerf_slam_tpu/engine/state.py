@@ -95,8 +95,12 @@ class EngineConfig:
         )
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _insert(buf: jnp.ndarray, slot: jnp.ndarray, frame: jnp.ndarray):
+    # NOTE: donation deliberately NOT used — donated updates followed by a
+    # gather + large jit execution reproducibly fault the experimental axon
+    # PJRT runtime (use-after-free flavored "TPU worker crashed"); the copy
+    # costs ~35 MB per keyframe insert, once per every_frame frames.
     return jax.lax.dynamic_update_index_in_dim(buf, frame, slot, 0)
 
 

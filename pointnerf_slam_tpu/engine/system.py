@@ -154,11 +154,15 @@ class PointNeRFSLAM:
         self.key, k = jax.random.split(self.key)
         return k
 
-    def _cam7(self, c2w44: np.ndarray) -> jnp.ndarray:
-        return tensor_from_camera(jnp.asarray(c2w44, jnp.float32))
+    def _cam7(self, c2w44: np.ndarray) -> np.ndarray:
+        from ..core.se3_np import tensor_from_camera_np
+        return tensor_from_camera_np(
+            np.asarray(c2w44, np.float32)).astype(np.float32)
 
     def _c2w44(self, cam7) -> np.ndarray:
-        return np.asarray(to_homogeneous(camera_from_tensor(cam7)))
+        from ..core.se3_np import camera_from_tensor_np, to_homogeneous_np
+        return to_homogeneous_np(camera_from_tensor_np(
+            np.asarray(cam7, np.float32))).astype(np.float32)
 
     def _supervising_depth(self, idx: int, sensor_depth):
         if self.ecfg.weak_depth:
@@ -471,15 +475,25 @@ class PointNeRFSLAM:
         self.timings["frontend"] += time.time() - t0
 
     def run(self, start_idx: int = 0):
-        # host-side frame prefetch: load frame idx+1 while the device works
-        # on idx (SURVEY §2.4 P7 — the reference used DataLoader workers)
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(self.frame_reader.__getitem__, start_idx)
+        # host-side frame prefetch (SURVEY §2.4 P7 — the reference used
+        # DataLoader workers). OFF by default: a second host thread crashes
+        # the experimental axon PJRT client (bisected: every flow with the
+        # prefetch thread died with "TPU worker crashed", every
+        # single-threaded flow survived). Enable with data.prefetch: true
+        # on thread-safe runtimes.
+        prefetch = bool(self.cfg["data"].get("prefetch", False))
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1)
+            pending = pool.submit(self.frame_reader.__getitem__, start_idx)
         for idx in range(start_idx, self.n_img):
-            _, color, depth, gt_c2w = pending.result()
-            if idx + 1 < self.n_img:
-                pending = pool.submit(self.frame_reader.__getitem__, idx + 1)
+            if prefetch:
+                _, color, depth, gt_c2w = pending.result()
+                if idx + 1 < self.n_img:
+                    pending = pool.submit(self.frame_reader.__getitem__,
+                                          idx + 1)
+            else:
+                _, color, depth, gt_c2w = self.frame_reader[idx]
             self.step(idx, color, depth, gt_c2w)
             if self.logger is not None:
                 self.logger.maybe_log(self, idx)

@@ -36,29 +36,41 @@ def supervise(args) -> int:
         base += ["--input_folder", args.input_folder]
     if args.output:
         base += ["--output", args.output]
+
+    cfg = load_config(args.config)
+    out = args.output or cfg["data"]["output"]
+    from pointnerf_slam_tpu.io.datasets import get_dataset
+    total = len(get_dataset(cfg))
     if args.n_frames:
-        base += ["--n_frames", str(args.n_frames)]
+        total = min(total, args.n_frames)
 
-    from pointnerf_slam_tpu.io.config import load_config
-    out = args.output or load_config(args.config)["data"]["output"]
+    def latest_ckpt():
+        cs = sorted(glob.glob(os.path.join(out, "ckpts", "*.npz")))
+        return cs[-1] if cs else None
 
+    def ckpt_idx(path):
+        return int(os.path.basename(path).split(".")[0]) if path else -1
+
+    chunk = args.frames_per_attempt
     resume = args.resume
     for attempt in range(args.max_restarts + 1):
         cmd = list(base)
+        start = ckpt_idx(resume) + 1 if resume else 0
+        cap = min(start + chunk, total) if chunk > 0 else total
+        cmd += ["--n_frames", str(cap)]
+        if cap < total:
+            cmd += ["--no_final_refine"]  # chunk end is not the sequence end
         if resume:
             cmd += ["--resume", resume]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd[2:])}")
         rc = subprocess.run(cmd).returncode
-        if rc == 0:
+        resume = latest_ckpt()
+        done = ckpt_idx(resume)
+        if rc == 0 and (chunk == 0 or done >= total - 1):
+            print(f"[supervisor] finished at frame {done}")
             return 0
-        ckpts = sorted(glob.glob(os.path.join(out, "ckpts", "*.npz")))
-        if not ckpts:
-            print("[supervisor] crashed before the first checkpoint; "
-                  "restarting from scratch")
-            resume = None
-        else:
-            resume = ckpts[-1]
-            print(f"[supervisor] crashed (rc={rc}); resuming from {resume}")
+        if rc != 0:
+            print(f"[supervisor] crashed (rc={rc}); latest ckpt {resume}")
     print("[supervisor] restart budget exhausted")
     return 1
 
@@ -83,6 +95,13 @@ def main():
                              "times (a PJRT client cannot be revived "
                              "in-process, so recovery is supervised "
                              "re-execution + checkpoint resume).")
+    parser.add_argument("--no_final_refine", action="store_true",
+                        help=argparse.SUPPRESS)  # internal: chunked attempt
+    parser.add_argument("--frames_per_attempt", type=int, default=0,
+                        help="with --max_restarts: cap each attempt to N "
+                             "frames and relaunch a fresh process (works "
+                             "around runtimes that degrade with process "
+                             "age).")
     args = parser.parse_args()
 
     if args.max_restarts > 0:
@@ -90,6 +109,9 @@ def main():
 
     setup_seed(1219)
     cfg = load_config(args.config)
+    if args.no_final_refine:
+        cfg["mapping"]["color_refine"] = False
+        cfg["meshing"]["eval_rec"] = False
     slam = PointNeRFSLAM(cfg, args, n_frames_cap=args.n_frames)
 
     from pointnerf_slam_tpu.outputs import attach_outputs

@@ -276,3 +276,28 @@ class TestDifferentiability:
         g = jax.grad(loss)(cam)
         assert jnp.all(jnp.isfinite(g))
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSE3NumpyTwins:
+    def test_numpy_matches_jax(self):
+        from pointnerf_slam_tpu.core.se3_np import (
+            quat_to_rot_np, rot_to_quat_np, camera_from_tensor_np,
+            tensor_from_camera_np, to_homogeneous_np)
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            q = rng.normal(size=4).astype(np.float32)
+            np.testing.assert_allclose(quat_to_rot_np(q),
+                                       quat_to_rot(jnp.asarray(q)), atol=1e-6)
+            R = rotmat_from_axis_angle(rng.normal(size=3),
+                                       rng.uniform(-3, 3)).astype(np.float32)
+            np.testing.assert_allclose(rot_to_quat_np(R),
+                                       rot_to_quat(jnp.asarray(R)), atol=1e-5)
+            cam = rng.normal(size=7).astype(np.float32)
+            cam[:4] /= np.linalg.norm(cam[:4])
+            np.testing.assert_allclose(
+                camera_from_tensor_np(cam),
+                camera_from_tensor(jnp.asarray(cam)), atol=1e-6)
+            T = to_homogeneous_np(camera_from_tensor_np(cam))
+            np.testing.assert_allclose(
+                tensor_from_camera_np(T),
+                tensor_from_camera(jnp.asarray(T)), atol=1e-5)
