@@ -35,6 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 from ..core.rays import gather_pixels, rays_from_uv, sample_uv_uniform, \
     sample_uv_valid
@@ -47,7 +48,8 @@ from .state import EngineConfig
 def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
                      max_frames: int, stage: str = "color",
                      grid_lrs: Optional[dict] = None,
-                     decoders_lr: Optional[float] = None):
+                     decoders_lr: Optional[float] = None,
+                     mesh=None, use_grid_masks: bool = False):
     """Build the jitted mapping update.
 
     Args:
@@ -57,10 +59,37 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
       grid_lrs: NICE per-level lrs, e.g. {'grid_middle': 0.1, ...}.
       decoders_lr: decoder lr (NICE stage decoders_lr; iMAP uses
         ecfg.imap_decoders_lr).
+      use_grid_masks: NICE frustum_feature_selection (reference
+        Mapper.py:129-200, 395-460): the step gains a trailing `grid_masks`
+        argument ({grid name: (Dx,Dy,Dz,1) float mask}); grid gradients are
+        multiplied by the mask each iteration, freezing cells outside the
+        current frame's frustum (zero grad => zero Adam update, exactly the
+        reference's extract-optimize-scatter of masked values).
+      mesh: optional jax.sharding.Mesh with a 'data' axis. When it has >1
+        device the whole scanned loop runs SPMD under jax.shard_map: each
+        device samples its own 1/n_dev slice of the per-frame ray budget
+        (RNG key folded with the device index), renders it, and the
+        per-iteration gradients are psum-reduced over ICI before the
+        (replicated) Adam update — dp over rays, decoder replicated
+        (SURVEY §2.4 P6/comm, §5.7). Loss returned is the psum total, so
+        multi-chip semantics match single-device at the same total budget.
     """
     nice = isinstance(model_cfg, NICEConfig)
     H, W = ecfg.H, ecfg.W
-    pixs_per_frame = max(ecfg.mapping_pixels // max_frames, 1)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if n_dev <= 1:
+        mesh = None
+    pixs_per_frame = max(ecfg.mapping_pixels // max_frames // n_dev, 1)
+
+    # fused full-render Pallas megakernel (ops/megakernel.py): one kernel
+    # pair per iteration instead of 3 render/regulation boundaries
+    from ..ops.megakernel import make_fused_render, supports_megakernel
+    use_mega = (ecfg.megakernel != "off" and not nice
+                and supports_megakernel(model_cfg, rcfg)
+                and (ecfg.megakernel == "on"
+                     or jax.default_backend() == "tpu"))
+    fused_render = (make_fused_render(rcfg, with_reg=not ecfg.occupancy)
+                    if use_mega else None)
     dec_lr = (decoders_lr if decoders_lr is not None
               else ecfg.imap_decoders_lr)
     color_in_loss = (not nice) or stage == "color"
@@ -95,18 +124,28 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         ray_w = ray_w * (max_frames / jnp.maximum(n_valid_frames, 1))
 
         k_render, k_reg = jax.random.split(keys[-1])
-        depth, var, color, _ = render_rays(
-            params, model_cfg, rcfg, rays_o, rays_d, bound, k_render, gt_d,
-            c_grid=c_grid, stage=stage)
+        if use_mega:
+            # identical draws to the XLA regulation path: stratified_zvals
+            # consumes uniform(k_reg, (N, N_samples)) (core/sampling.py:54)
+            t_reg = jax.random.uniform(k_reg,
+                                       (rays_o.shape[0], rcfg.N_samples))
+            depth, var, color, sigma = fused_render(
+                params, rays_o, rays_d, gt_d, t_reg, bound)
+        else:
+            depth, var, color, _ = render_rays(
+                params, model_cfg, rcfg, rays_o, rays_d, bound, k_render,
+                gt_d, c_grid=c_grid, stage=stage)
         depth_mask = (gt_d > 0).astype(jnp.float32) * ray_w
         loss = jnp.sum(jnp.abs(gt_d - depth) * depth_mask)
         if color_in_loss:
             color_loss = jnp.sum(jnp.abs(gt_c - color).sum(-1) * ray_w)
             loss = loss + ecfg.w_color_loss_m * color_loss
         if not ecfg.occupancy:
-            sigma = regulation(params, model_cfg, rcfg, rays_o, rays_d, gt_d,
-                               bound, k_reg, c_grid=c_grid, stage=stage)
-            sigma = sigma.reshape(rays_o.shape[0], -1)
+            if not use_mega:
+                sigma = regulation(params, model_cfg, rcfg, rays_o, rays_d,
+                                   gt_d, bound, k_reg, c_grid=c_grid,
+                                   stage=stage)
+                sigma = sigma.reshape(rays_o.shape[0], -1)
             loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma) * ray_w[:, None])
         return loss
 
@@ -146,12 +185,10 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
         return optax.multi_transform(txs, label_fn)
 
-    @partial(jax.jit, static_argnames=("num_iters",))
-    def mapper_step(params, c_grid, colors, depths, fixed_cams, frame_valid,
-                    ba_mask, bound, key, num_iters: int):
-        """Run num_iters mapping iterations on device.
-
-        Returns (params, c_grid, cams, losses)."""
+    def _run_iters(params, c_grid, colors, depths, fixed_cams, frame_valid,
+                   ba_mask, bound, key, grid_masks, num_iters: int):
+        """The full num_iters scanned loop (runs per-device under shard_map
+        when mesh is set; all carried state stays replicated)."""
         opt_vars = {"params": params, "grids": c_grid if nice else {},
                     "cams": fixed_cams}
         tx = make_tx()
@@ -160,10 +197,18 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
         def body(carry, k):
             opt_vars, opt_state = carry
+            if mesh is not None:
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
             loss, grads = jax.value_and_grad(loss_fn)(
                 opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
                 bound, k, n_valid_frames)
+            if mesh is not None:
+                grads = jax.lax.psum(grads, "data")   # all-reduce over ICI
+                loss = jax.lax.psum(loss, "data")
             grads["cams"] = grads["cams"] * ba_mask[:, None]
+            if use_grid_masks:
+                grads["grids"] = {name: g * grid_masks[name]
+                                  for name, g in grads["grids"].items()}
             updates, opt_state = tx.update(grads, opt_state)
             opt_vars = optax.apply_updates(opt_vars, updates)
             return (opt_vars, opt_state), loss
@@ -175,4 +220,28 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         grids_out = opt_vars["grids"] if nice else c_grid
         return opt_vars["params"], grids_out, cams, losses
 
-    return mapper_step
+    @partial(jax.jit, static_argnames=("num_iters",))
+    def _mapper_step_masked(params, c_grid, colors, depths, fixed_cams,
+                            frame_valid, ba_mask, bound, key, grid_masks,
+                            num_iters: int):
+        run = partial(_run_iters, num_iters=num_iters)
+        if mesh is not None:
+            run = jax.shard_map(run, mesh=mesh, in_specs=(P(),) * 10,
+                                out_specs=(P(),) * 4, check_vma=False)
+        return run(params, c_grid, colors, depths, fixed_cams, frame_valid,
+                   ba_mask, bound, key, grid_masks)
+
+    @partial(jax.jit, static_argnames=("num_iters",))
+    def mapper_step(params, c_grid, colors, depths, fixed_cams, frame_valid,
+                    ba_mask, bound, key, num_iters: int):
+        """Run num_iters mapping iterations on device.
+
+        Returns (params, c_grid, cams, losses)."""
+        run = partial(_run_iters, grid_masks={}, num_iters=num_iters)
+        if mesh is not None:
+            run = jax.shard_map(run, mesh=mesh, in_specs=(P(),) * 9,
+                                out_specs=(P(),) * 4, check_vma=False)
+        return run(params, c_grid, colors, depths, fixed_cams, frame_valid,
+                   ba_mask, bound, key)
+
+    return _mapper_step_masked if use_grid_masks else mapper_step

@@ -94,7 +94,24 @@ class PointNeRFSLAM:
         self.keyframes = KeyframeBuffer(cap, self.H, self.W)
 
         self.max_window = self.ecfg.mapping_window_size + 1  # + current
+        # multi-chip: shard the mapping ray batch over all local devices
+        # (SURVEY §2.4 P6; decoder replicates, grads psum over ICI).
+        # parallel.data_devices: "auto" (default, all devices), an int, or
+        # 0/1 to force single-device.
+        par = cfg.get("parallel", {}) or {}
+        want = par.get("data_devices", "auto")
+        n_par = jax.device_count() if want == "auto" else int(want)
+        n_par = min(n_par, jax.device_count())
+        if n_par > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(n_par)
+        else:
+            self.mesh = None
         self._mapper_steps = {}
+        # NICE frustum_feature_selection (reference Mapper.py:129-200)
+        self._use_grid_masks = bool(self.nice
+                                    and self.ecfg.frustum_feature_selection)
+        self._frustum_mask_fns = {}
         self.tracking_step = make_tracking_step(self.model_cfg, self.rcfg,
                                                 self.ecfg)
 
@@ -190,7 +207,8 @@ class PointNeRFSLAM:
                 grid_lrs, dec_lr = None, None
             self._mapper_steps[key] = make_mapper_step(
                 self.model_cfg, self.rcfg, self.ecfg, max_frames,
-                stage=stage, grid_lrs=grid_lrs, decoders_lr=dec_lr)
+                stage=stage, grid_lrs=grid_lrs, decoders_lr=dec_lr,
+                mesh=self.mesh, use_grid_masks=self._use_grid_masks)
         return self._mapper_steps[key]
 
     def _stage_schedule(self, num_iters: int):
@@ -223,9 +241,43 @@ class PointNeRFSLAM:
             chosen = random_select(n_kf - 1, wsize - 2, self.np_rng)
         return sorted(set(int(c) for c in chosen) | {n_kf - 1})
 
+    def _overlap_scores_fn(self):
+        """One jitted, vmapped frustum-overlap scorer over ALL keyframe
+        slots (replaces the reference's per-keyframe Python loop,
+        Mapper.py:286-326; one device call per window selection)."""
+        if getattr(self, "_overlap_scores_jit", None) is not None:
+            return self._overlap_scores_jit
+        fx, fy, cx, cy = self.fx, self.fy, self.cx, self.cy
+        W, H = self.W, self.H
+        from ..core.se3 import camera_from_tensor, to_homogeneous
+
+        @jax.jit
+        def scores_fn(pts, est_c2w7):
+            """pts (N, 3) world samples; est_c2w7 (K, 7) -> (K,) ratios."""
+            c2w = to_homogeneous(camera_from_tensor(est_c2w7))
+            w2c = jnp.linalg.inv(c2w)
+
+            def one(T):
+                pc = pts @ T[:3, :3].T + T[:3, 3]
+                zz = -pc[:, 2]
+                ok = zz > 1e-5
+                u = pc[:, 0] / jnp.maximum(zz, 1e-5) * fx + cx
+                v = -pc[:, 1] / jnp.maximum(zz, 1e-5) * fy + cy
+                edge = 20
+                inside = ok & (u > edge) & (u < W - edge) & (v > edge) \
+                    & (v < H - edge)
+                return jnp.mean(inside.astype(jnp.float32))
+
+            return jax.vmap(one)(w2c)
+
+        self._overlap_scores_jit = scores_fn
+        return scores_fn
+
     def _overlap_select(self, color, depth, c2w, n_candidates, k,
                         n_samples=16, pixels=100):
-        """Frustum-overlap keyframe scoring (Mapper.py:267-333)."""
+        """Frustum-overlap keyframe scoring (Mapper.py:267-333). Sample
+        points are built on host (tiny); scoring over all keyframe slots is
+        one vmapped device call (static capacity, masked to n_candidates)."""
         depth_np = np.asarray(depth)
         valid = np.argwhere(depth_np > 0.01)
         if len(valid) == 0:
@@ -244,24 +296,31 @@ class PointNeRFSLAM:
         pts = rays_o + rays_d[:, None, :] * z[..., None]
         pts = pts.reshape(-1, 3)
 
-        from ..core.se3 import camera_from_tensor, to_homogeneous
-        scores = []
-        for slot in range(n_candidates):
-            kf_c2w = np.asarray(to_homogeneous(
-                camera_from_tensor(self.keyframes.est_c2w[slot])))
-            w2c = np.linalg.inv(kf_c2w)
-            pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
-            zz = -pc[:, 2]
-            ok = zz > 1e-5
-            u = pc[:, 0] / np.maximum(zz, 1e-5) * self.fx + self.cx
-            v = -pc[:, 1] / np.maximum(zz, 1e-5) * self.fy + self.cy
-            edge = 20
-            inside = ok & (u > edge) & (u < self.W - edge) & (v > edge) \
-                & (v < self.H - edge)
-            scores.append(inside.mean())
+        # one device call over the full (static-capacity) slot axis
+        scores_all = np.asarray(self._overlap_scores_fn()(
+            jnp.asarray(pts, jnp.float32), self.keyframes.est_c2w))
+        scores = scores_all[:n_candidates]
         order = [s for s in np.argsort(scores)[::-1] if scores[s] > 0]
         return list(self.np_rng.permutation(np.array(order, np.int64))[:k]) \
             if order else random_select(n_candidates, k, self.np_rng)
+
+    def _frustum_masks(self, idx, cur_depth):
+        """Per-level frustum feature masks for the current frame
+        (reference Mapper.py:129-200; coarse grid never masked)."""
+        from ..models.grids import make_frustum_mask_fn
+        c2w = jnp.asarray(self.estimate_c2w_list[idx])
+        masks = {}
+        for name, g in self.c_grid.items():
+            if name == "grid_coarse":
+                masks[name] = jnp.ones(g.shape[:3] + (1,), jnp.float32)
+                continue
+            if name not in self._frustum_mask_fns:
+                self._frustum_mask_fns[name] = make_frustum_mask_fn(
+                    g.shape[:3], self.H, self.W, self.fx, self.fy,
+                    self.cx, self.cy)
+            masks[name] = self._frustum_mask_fns[name](self.bound, c2w,
+                                                       cur_depth)
+        return masks
 
     def _map_frame(self, idx, color, sensor_depth, gt_c2w, num_iters,
                    outer_iters, refine=False, lr_factor: float = 1.0):
@@ -273,6 +332,8 @@ class PointNeRFSLAM:
         cur_color_u8 = jnp.asarray(
             np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8))
         cur_depth = self._supervising_depth(idx, sensor_depth)
+        grid_masks = (self._frustum_masks(idx, cur_depth)
+                      if self._use_grid_masks else None)
 
         for outer in range(outer_iters):
             slots = self._select_window(refine, color, cur_depth,
@@ -305,10 +366,16 @@ class PointNeRFSLAM:
                 ba_mask = ba_mask_all if (stage == "color" or not self.nice) \
                     else np.zeros((max_frames,), bool)
                 step_fn = self._get_mapper_step(max_frames, stage, lr_factor)
-                self.params, self.c_grid, cams_out, losses = step_fn(
-                    self.params, self.c_grid, colors, depths, cams,
-                    jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
-                    self._next_key(), n_iters)
+                if self._use_grid_masks:
+                    self.params, self.c_grid, cams_out, losses = step_fn(
+                        self.params, self.c_grid, colors, depths, cams,
+                        jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
+                        self._next_key(), grid_masks, n_iters)
+                else:
+                    self.params, self.c_grid, cams_out, losses = step_fn(
+                        self.params, self.c_grid, colors, depths, cams,
+                        jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
+                        self._next_key(), n_iters)
                 cams = cams_out
                 if self.verbose:
                     print(f"Mapping frame {idx} outer {outer} [{stage}]: "
@@ -347,6 +414,9 @@ class PointNeRFSLAM:
             err = float(jnp.abs(gt_cam - best_cam).mean())
             print(f"Tracking frame {idx}: loss {float(first_loss):.2f} -> "
                   f"{float(best_loss):.2f}, cam err {err:.4f}")
+        if getattr(self, "tracking_visualizer", None) is not None:
+            self.tracking_visualizer.vis(self, idx, sensor_depth, color,
+                                         self.estimate_c2w_list[idx])
         self.timings["tracking"] += time.time() - t0
 
     # -- keyframes --------------------------------------------------------

@@ -81,79 +81,29 @@ def make_sharded_mapping_step(model_cfg, rcfg: RenderConfig, mesh: Mesh,
 
 def make_shardmap_mapper_step(model_cfg, rcfg: RenderConfig, mesh: Mesh,
                               ecfg, max_frames: int):
-    """FULL mapping train step under shard_map: every device samples its own
-    slice of the ray budget from the (replicated) keyframe window, renders,
-    and contributes psum-reduced gradients; params/opt-state replicate.
+    """FULL mapping train step under shard_map — thin adapter over the
+    engine's own `make_mapper_step(mesh=...)` (engine/mapper.py), which IS
+    the SPMD configuration: every device samples its own slice of the ray
+    budget from the (replicated) keyframe window, renders, and contributes
+    psum-reduced gradients over ICI; params/opt-state replicate (dp over
+    rays; the 256-wide decoder replicates, SURVEY §5.7).
 
-    This is the engine's mapper_step body running SPMD — the multi-chip
-    configuration the driver dry-runs (dp over rays; the 256-wide decoder
-    replicates, SURVEY §5.7)."""
-    from functools import partial as _partial
+    Kept as an API shim for the driver dryrun / benchmarks; the live engine
+    calls make_mapper_step(mesh=...) directly. The returned step runs ONE
+    Adam iteration (a fresh optimizer per call, matching the reference's
+    fresh torch Adam per optimize_map invocation, Mapper.py:499-505); the
+    opt_state argument is accepted and threaded for signature compatibility.
+    """
+    from ..engine.mapper import make_mapper_step
 
-    from jax.experimental.shard_map import shard_map
+    step = make_mapper_step(model_cfg, rcfg, ecfg, max_frames, mesh=mesh)
 
-    from ..core.rays import gather_pixels, rays_from_uv, sample_uv_uniform, \
-        sample_uv_valid
-    from ..core.se3 import camera_from_tensor
+    def run(params, opt_state, colors, depths, cams, frame_valid, bound,
+            key, num_iters: int = 1):
+        ba_mask = jnp.zeros((max_frames,), bool)
+        params, _, _, losses = step(params, {}, colors, depths, cams,
+                                    frame_valid, ba_mask, bound, key,
+                                    num_iters)
+        return params, opt_state, losses[-1]
 
-    n_dev = mesh.devices.size
-    H, W = ecfg.H, ecfg.W
-    pixs_per_frame = max(ecfg.mapping_pixels // max_frames // n_dev, 1)
-    tx = optax.adam(ecfg.imap_decoders_lr)
-
-    def local_loss(params, colors, depths, cams, frame_valid, bound, key):
-        """Per-shard loss over this device's ray slice."""
-        dev = jax.lax.axis_index("data")
-        key = jax.random.fold_in(key, dev)
-        c2w = camera_from_tensor(cams)
-
-        def sample_frame(k, col, dep, c2w34):
-            if ecfg.weak_depth:
-                idx, _ = sample_uv_valid(k, dep > 0.01, pixs_per_frame)
-            else:
-                idx = sample_uv_uniform(k, W, 0, H, 0, W, pixs_per_frame)
-            i, j, d, c = gather_pixels(idx, W, dep,
-                                       col.astype(jnp.float32) / 255.0)
-            o, dd = rays_from_uv(i, j, c2w34, ecfg.fx, ecfg.fy, ecfg.cx,
-                                 ecfg.cy)
-            return o, dd, d, c
-
-        keys = jax.random.split(key, max_frames + 1)
-        o, dd, d, c = jax.vmap(sample_frame)(keys[:max_frames], colors,
-                                             depths, c2w)
-        o = o.reshape(-1, 3)
-        dd = dd.reshape(-1, 3)
-        d = d.reshape(-1)
-        c = c.reshape(-1, 3)
-        w = jnp.repeat(frame_valid.astype(jnp.float32), pixs_per_frame)
-
-        k_r, k_reg = jax.random.split(keys[-1])
-        dep, var, col, _ = render_rays(params, model_cfg, rcfg, o, dd,
-                                       bound, k_r, d)
-        loss = jnp.sum(jnp.abs(d - dep) * (d > 0) * w)
-        loss = loss + ecfg.w_color_loss_m * jnp.sum(
-            jnp.abs(c - col).sum(-1) * w)
-        if not ecfg.occupancy:
-            sig = regulation(params, model_cfg, rcfg, o, dd, d, bound,
-                             k_reg).reshape(o.shape[0], -1)
-            loss = loss + 0.0005 * jnp.sum(jnp.abs(sig) * w[:, None])
-        return loss
-
-    def spmd_step(params, opt_state, colors, depths, cams, frame_valid,
-                  bound, key):
-        loss, grads = jax.value_and_grad(local_loss)(
-            params, colors, depths, cams, frame_valid, bound, key)
-        grads = jax.lax.psum(grads, "data")   # all-reduce over ICI
-        loss = jax.lax.psum(loss, "data")
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    repl = P()
-    sharded = jax.jit(shard_map(
-        spmd_step, mesh=mesh,
-        in_specs=(repl, repl, repl, repl, repl, repl, repl, repl),
-        out_specs=(repl, repl, repl),
-        check_rep=False))
-
-    return sharded, (lambda params: tx.init(params))
+    return run, (lambda params: None)

@@ -93,3 +93,46 @@ class TestMultiScene:
         assert losses.shape == (S, 5)
         assert np.isfinite(np.asarray(losses)).all()
         assert abs(float(losses[0, -1]) - float(losses[1, -1])) > 1e-3
+
+
+class TestEngineMultiDevice:
+    """The full PointNeRFSLAM engine on the 8-device mesh (VERDICT r1 #3):
+    when jax.device_count() > 1 the engine's mapper steps run under
+    jax.shard_map with the ray budget split across devices and gradients
+    psum-reduced; numerics must stay within tolerance of single-device."""
+
+    def _run(self, data_devices):
+        from test_engine import tiny_cfg
+        from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        cfg = tiny_cfg()
+        cfg["parallel"] = {"data_devices": data_devices}
+        cfg["tracking"]["gt_camera"] = True
+        slam = PointNeRFSLAM(cfg)
+        if data_devices == "auto":
+            assert slam.mesh is not None and slam.mesh.devices.size == 8
+        else:
+            assert slam.mesh is None
+        est, gt = slam.run()
+        # field quality probe: depth L1 of a rendered frame vs gt
+        from pointnerf_slam_tpu.render import render_rays
+        from pointnerf_slam_tpu.core.rays import get_rays
+        idx, color, depth, c2w = slam.frame_reader[4]
+        o, d = get_rays(slam.H, slam.W, slam.fx, slam.fy, slam.cx,
+                        slam.cy, jnp.asarray(c2w[:3, :4]))
+        sl = (slice(None, None, 4), slice(None, None, 4))
+        o = o[sl].reshape(-1, 3)
+        d = d[sl].reshape(-1, 3)
+        gtd = jnp.asarray(depth)[sl].reshape(-1)
+        dep, _, _, _ = render_rays(slam.params, slam.model_cfg, slam.rcfg,
+                                   o, d, slam.bound, jax.random.PRNGKey(0),
+                                   gtd)
+        return float(jnp.abs(dep - gtd).mean())
+
+    def test_sharded_engine_matches_single_device(self):
+        err_multi = self._run("auto")
+        err_single = self._run(1)
+        assert np.isfinite(err_multi) and np.isfinite(err_single)
+        assert err_multi < 0.25, f"sharded depth L1 {err_multi}"
+        # same total budget, different per-device RNG streams: quality must
+        # agree to well within the convergence noise band
+        assert abs(err_multi - err_single) < 0.12, (err_multi, err_single)
