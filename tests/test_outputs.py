@@ -237,3 +237,126 @@ class TestMesherEndToEnd:
         # the out-of-bound sentinel shell (at the enlarged bound) must have
         # been culled by the TSDF hull
         assert float(np.abs(verts).max()) < 2.15
+
+
+class TestPointMasks:
+    """Seen/forecast/unseen frustum masks (reference Mesher.py:53-212)."""
+
+    def _slam(self, depth_fill=3.0, n_kf=1):
+        from types import SimpleNamespace
+        from pointnerf_slam_tpu.engine.state import KeyframeBuffer
+        H, W = 24, 32
+        buf = KeyframeBuffer(8, H, W)
+        for k in range(n_kf):
+            cam = np.array([1.0, 0, 0, 0, 0, 0, 0], np.float32)
+            buf.insert(k, np.zeros((H, W, 3), np.uint8),
+                       np.full((H, W), depth_fill, np.float32), cam, cam)
+        est = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+        return SimpleNamespace(keyframes=buf, H=H, W=W, fx=20.0, fy=20.0,
+                               cx=15.5, cy=11.5, estimate_c2w_list=est)
+
+    def _mesher(self, **over):
+        import copy
+        from pointnerf_slam_tpu.io.config import DEFAULT_CONFIG, \
+            update_recursive
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        update_recursive(cfg, {"meshing": over})
+        return Mesher(cfg, None, points_batch_size=4096)
+
+    def test_seen_forecast_unseen_split(self):
+        slam = self._slam(depth_fill=3.0)
+        m = self._mesher()
+        pts = np.array([
+            [0.0, 0.0, -2.0],    # center of frustum, proj 2 < 3.3 -> seen
+            [0.0, 0.0, 2.0],     # behind the camera -> unseen
+            [3.0, 0.0, -2.0],    # u = cx + 20*3/2 = 45 > W, < W+1000 -> forecast
+            [0.0, 0.0, -5.0],    # in image, proj 5 > 3.3 -> fails depth -> unseen
+            [300.0, 0.0, -2.0],  # u ~ 3015 > W + 1000 -> unseen
+        ], np.float32)
+        seen, forecast, unseen = m.point_masks(slam, pts)
+        np.testing.assert_array_equal(seen, [True, False, False, False,
+                                             False])
+        np.testing.assert_array_equal(forecast, [False, False, True, False,
+                                                 False])
+        np.testing.assert_array_equal(
+            unseen, ~(seen | forecast))
+        assert unseen[1] and unseen[3] and unseen[4]
+
+    def test_depth_test_band(self):
+        slam = self._slam(depth_fill=2.0)
+        m = self._mesher(depth_test=True)
+        pts = np.array([
+            [0.0, 0.0, -2.1],   # |2.1 - 2.0| < 2.4 -> seen
+            [0.0, 0.0, -4.6],   # |4.6 - 2.0| = 2.6 > 2.4 -> not seen
+        ], np.float32)
+        seen, forecast, unseen = m.point_masks(slam, pts)
+        assert seen[0] and not seen[1]
+        # 4.6 > max sampled depth 2.0 -> fails the forecast gate too
+        assert unseen[1]
+
+    def test_use_all_frames_no_depth_constraint(self):
+        slam = self._slam(depth_fill=0.5)
+        m = self._mesher()
+        # identity pose at estimate_c2w_list[0]; depth never constrains
+        pts = np.array([[0.0, 0.0, -50.0]], np.float32)
+        seen, forecast, unseen = m.point_masks(slam, pts,
+                                               use_all_frames=True,
+                                               cur_idx=0)
+        assert seen[0]
+        # keyframe path WOULD reject it (0.5 * 1.1 max depth)
+        seen_kf, _, _ = m.point_masks(slam, pts)
+        assert not seen_kf[0]
+
+
+class TestMeshCleanup:
+    def _two_spheres(self):
+        """One big + one small sphere in a single grid -> 2 components."""
+        n = 48
+        ax = np.arange(n, dtype=np.float32)
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        d1 = np.sqrt((gx - 14) ** 2 + (gy - 24) ** 2 + (gz - 24) ** 2)
+        d2 = np.sqrt((gx - 38) ** 2 + (gy - 24) ** 2 + (gz - 24) ** 2)
+        grid = np.minimum(d1 - 10.0, d2 - 3.0)  # sdf-ish, level 0
+        return marching_tets(grid, 0.0)
+
+    def test_largest_component(self):
+        from pointnerf_slam_tpu.outputs.mesher import clean_components
+        verts, tris = self._two_spheres()
+        v2, t2 = clean_components(verts, tris, get_largest=True,
+                                  area_threshold=0.0)
+        assert len(t2) < len(tris)
+        # everything kept is on the big sphere (center x=14)
+        assert np.abs(np.linalg.norm(
+            v2 - np.array([14, 24, 24]), axis=1) - 10.0).max() < 0.5
+
+    def test_small_component_threshold(self):
+        from pointnerf_slam_tpu.outputs.mesher import clean_components, \
+            face_areas
+        verts, tris = self._two_spheres()
+        small_area = 4 * np.pi * 3.0 ** 2
+        # threshold between the small and big sphere areas
+        v2, t2 = clean_components(verts, tris, get_largest=False,
+                                  area_threshold=small_area * 2)
+        assert np.abs(np.linalg.norm(
+            v2 - np.array([14, 24, 24]), axis=1) - 10.0).max() < 0.5
+        # tiny threshold keeps both
+        v3, t3 = clean_components(verts, tris, get_largest=False,
+                                  area_threshold=1e-6)
+        assert len(t3) == len(tris)
+
+    def test_cull_faces_partial_seen_survives(self):
+        from pointnerf_slam_tpu.outputs.mesher import cull_faces
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                         np.float32)
+        tris = np.array([[0, 1, 3], [1, 3, 2]], np.int64)
+        # drop verts 1 and 3: both faces keep a seen vertex -> both survive
+        drop = np.array([False, True, False, True])
+        v2, t2 = cull_faces(verts, tris, drop)
+        assert len(t2) == 2
+        # drop 0,1,3: face (0,1,3) is all-dropped -> culled; (1,3,2) keeps
+        # its seen vertex 2 -> survives (reference all(axis=1) semantics)
+        drop_all = np.array([True, True, False, True])
+        v3, t3 = cull_faces(verts, tris, drop_all)
+        assert len(t3) == 1
+        v4, t4 = cull_faces(verts, tris, np.ones(4, bool))
+        assert len(t4) == 0
