@@ -56,7 +56,12 @@ class EngineConfig:
     iters_first: int = 1500
     color_refine: bool = True
     keyframe_selection_method: str = "global"
+    frustum_feature_selection: bool = False
     occupancy: bool = False
+    # fused full-render Pallas kernel (ops/megakernel.py):
+    # "auto" = on when the flagship config runs on a real TPU backend,
+    # "on" = force (interpret mode off-TPU; used by tests), "off" = never.
+    megakernel: str = "auto"
     sync_method: str = "loose"
     fix_fine: bool = True
     fix_color: bool = False
@@ -88,7 +93,10 @@ class EngineConfig:
             iters=m["iters"], iters_first=m["iters_first"],
             color_refine=m["color_refine"],
             keyframe_selection_method=m["keyframe_selection_method"],
+            frustum_feature_selection=m.get("frustum_feature_selection",
+                                            False),
             occupancy=cfg["occupancy"], sync_method=cfg["sync_method"],
+            megakernel=cfg["rendering"].get("megakernel", "auto"),
             fix_fine=m["fix_fine"], fix_color=m["fix_color"],
             middle_iter_ratio=m["middle_iter_ratio"],
             fine_iter_ratio=m["fine_iter_ratio"],

@@ -79,3 +79,44 @@ class TestNICEEndToEnd:
                               slam._cam7(c2w))
         chosen = slam._overlap_select(color, depth, c2w, n_candidates=2, k=1)
         assert chosen == [0]  # covisible keyframe wins over the far one
+
+
+class TestFrustumFeatureSelection:
+    def test_out_of_frustum_cells_frozen(self):
+        """frustum_feature_selection: grid cells outside the current frame's
+        frustum must be untouched by a mapping call (reference
+        Mapper.py:129-200, 395-460)."""
+        import jax.numpy as jnp
+        cfg = nice_cfg(data={"n_frames": 3, "orbit": 0.0})
+        from pointnerf_slam_tpu.io.config import update_recursive
+        update_recursive(cfg, {
+            "mapping": {"frustum_feature_selection": True, "BA": False},
+            "coarse": False,
+            # static camera (orbit 0) + gt poses: every mapping call sees the
+            # identical frustum, so the frame-0 mask is THE mask
+            "tracking": {"gt_camera": True},
+        })
+        slam = PointNeRFSLAM(cfg)
+        assert slam._use_grid_masks
+        _, color, depth, gt_c2w = slam.frame_reader[0]
+        slam.step(0, color, depth, gt_c2w)
+
+        masks = slam._frustum_masks(0, jnp.asarray(depth))
+        g0 = {k: np.asarray(v) for k, v in slam.c_grid.items()}
+        _, color1, depth1, gt1 = slam.frame_reader[1]
+        slam.step(1, color1, depth1, gt1)
+        slam.step(2, *slam.frame_reader[2][1:])
+
+        for name in ("grid_middle", "grid_fine", "grid_color"):
+            m = np.asarray(masks[name])[..., 0] > 0
+            delta = np.abs(np.asarray(slam.c_grid[name]) - g0[name]).max(-1)
+            out_moved = float(delta[~m].max()) if (~m).any() else 0.0
+            assert out_moved == 0.0, (name, out_moved)
+            # camera looks at the scene: a decent share of cells is in
+            # frustum, and some cells are out (mask is non-trivial)
+            assert m.any() and (~m).any(), name
+        # in-frustum cells did move for the trained levels
+        m_mid = np.asarray(masks["grid_middle"])[..., 0] > 0
+        d_mid = np.abs(np.asarray(slam.c_grid["grid_middle"])
+                       - g0["grid_middle"]).max(-1)
+        assert float(d_mid[m_mid].max()) > 1e-6
