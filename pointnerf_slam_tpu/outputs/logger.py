@@ -150,4 +150,9 @@ def attach_outputs(slam):
     slam.visualizer = Visualizer(
         cfg["mapping"]["vis_freq"],
         os.path.join(slam.output, "mapping_vis"), slam.verbose)
+    # tracking-residual panels (reference src/Tracker.py:186-188,888 writes
+    # tracking_vis via its own Visualizer at tracking.vis_freq)
+    slam.tracking_visualizer = Visualizer(
+        cfg["tracking"]["vis_freq"],
+        os.path.join(slam.output, "tracking_vis"), slam.verbose)
     return slam

@@ -9,6 +9,7 @@ reading this framework's npz checkpoints (ckpt translation divided by
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -82,11 +83,21 @@ def plot_traj(gt_c2w, est_c2w, out_png: str, scale: float = 1.0):
 
 def main():
     p = argparse.ArgumentParser(description="ATE from a checkpoint")
-    p.add_argument("ckpt", help="path to ckpts/XXXXX.npz")
+    p.add_argument("ckpt", help="path to ckpts/XXXXX.npz, or an output dir "
+                   "(uses its latest checkpoint)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--plot", default=None, help="save trajectory png here")
     args = p.parse_args()
-    z = np.load(args.ckpt)
+    path = args.ckpt
+    if os.path.isdir(path):
+        cdir = (os.path.join(path, "ckpts")
+                if os.path.isdir(os.path.join(path, "ckpts")) else path)
+        cands = sorted(f for f in os.listdir(cdir) if f.endswith(".npz"))
+        if not cands:
+            raise SystemExit(f"no .npz checkpoints under {cdir}")
+        path = os.path.join(cdir, cands[-1])
+        print(f"using {path}")
+    z = np.load(path)
     stats = evaluate_ate(z["gt_c2w_list"], z["estimate_c2w_list"],
                          args.scale)
     for k, v in stats.items():
