@@ -128,6 +128,7 @@ class PointNeRFSLAM:
             self.frontend = SparseFrontend(cfg, self.H, self.W, self.fx,
                                            self.fy, self.cx, self.cy)
         self._pose_init_override = None
+        self._pending_pose = None  # (idx, device cam7) deferred track pose
         self._bootstrapped = not self.ecfg.weak_depth or self.ecfg.gt_camera
         self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
         self.logger = None
@@ -328,7 +329,11 @@ class PointNeRFSLAM:
         max_frames = (self.ecfg.mapping_window_size * 2 + 1 if refine
                       else self.max_window)
 
-        cur_cam = self._cam7(self.estimate_c2w_list[idx])
+        if (self.ecfg.keyframe_selection_method == "overlap"
+                or self._use_grid_masks):
+            # these paths build host-side rays from the current pose
+            self._commit_pending_pose()
+        cur_cam = self._cam7_current(idx)
         cur_color_u8 = jnp.asarray(
             np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8))
         cur_depth = self._supervising_depth(idx, sensor_depth)
@@ -386,13 +391,27 @@ class PointNeRFSLAM:
                 for w, slot in enumerate(slots):
                     self.keyframes.set_est_c2w(slot, cams[w])
                 cur_cam = cams[-1]
-                self.estimate_c2w_list[idx] = self._c2w44(cur_cam)
+                if getattr(self, "_pending_pose", None) is not None \
+                        and self._pending_pose[0] == idx:
+                    self._pending_pose = None  # BA pose supersedes
+                self.estimate_c2w_list[idx] = self._c2w44(
+                    np.asarray(cur_cam))
 
         self.mapping_first_frame_done = True
         self.timings["mapping"] += time.time() - t0
 
     # -- tracking ---------------------------------------------------------
-    def _track_frame(self, idx, color, sensor_depth, gt_c2w):
+    def _track_frame(self, idx, color, sensor_depth, gt_c2w,
+                     defer_commit: bool = False):
+        """Refine the pose of frame idx.
+
+        defer_commit: leave the refined camera as a device array (stored in
+        self._pending_pose) instead of pulling it to the host — the caller
+        dispatches the mapper against the device tensor while the tracking
+        scan still runs on device, recovering the reference's
+        tracker/mapper pipeline overlap (SURVEY §2.4 P1) without its races.
+        _commit_pending_pose() materializes the host pose later (by then
+        the device has long finished the tracking scan)."""
         t0 = time.time()
         if self._pose_init_override is not None:
             init = self._pose_init_override
@@ -408,6 +427,11 @@ class PointNeRFSLAM:
         best_cam, best_loss, first_loss = self.tracking_step(
             self.params, self.c_grid, cam0, jnp.asarray(color), depth_sup,
             self.bound, self._next_key())
+        if (defer_commit and not self.verbose
+                and getattr(self, "tracking_visualizer", None) is None):
+            self._pending_pose = (idx, best_cam)
+            self.timings["tracking"] += time.time() - t0
+            return best_cam
         self.estimate_c2w_list[idx] = self._c2w44(best_cam)
         if self.verbose:
             gt_cam = self._cam7(gt_c2w)
@@ -418,6 +442,23 @@ class PointNeRFSLAM:
             self.tracking_visualizer.vis(self, idx, sensor_depth, color,
                                          self.estimate_c2w_list[idx])
         self.timings["tracking"] += time.time() - t0
+        return best_cam
+
+    def _commit_pending_pose(self):
+        """Materialize a deferred tracked pose into the host pose table."""
+        pending = getattr(self, "_pending_pose", None)
+        if pending is not None:
+            idx, cam_dev = pending
+            self._pending_pose = None
+            self.estimate_c2w_list[idx] = self._c2w44(np.asarray(cam_dev))
+
+    def _cam7_current(self, idx):
+        """cam7 of frame idx, preferring the deferred device tensor (no
+        host sync) over the host pose table."""
+        pending = getattr(self, "_pending_pose", None)
+        if pending is not None and pending[0] == idx:
+            return pending[1]
+        return self._cam7(self.estimate_c2w_list[idx])
 
     # -- keyframes --------------------------------------------------------
     def _maybe_insert_keyframe(self, idx, color, sensor_depth, gt_c2w):
@@ -430,7 +471,7 @@ class PointNeRFSLAM:
         pseudo = self.pseudo_depths.get(idx)
         self.keyframes.insert(
             idx, color_u8, jnp.asarray(sensor_depth),
-            self._cam7(self.estimate_c2w_list[idx]), self._cam7(gt_c2w),
+            self._cam7_current(idx), self._cam7(gt_c2w),
             pseudo_depth=pseudo)
 
     # -- main loop ---------------------------------------------------------
@@ -465,7 +506,11 @@ class PointNeRFSLAM:
             else:
                 self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
         else:
-            self._track_frame(idx, color, sensor_depth, gt_c2w)
+            # sensor-depth mode: defer the host pose pull so the mapper
+            # below is prepared + dispatched while the tracking scan still
+            # runs on device (P1 overlap; committed at end of step)
+            self._track_frame(idx, color, sensor_depth, gt_c2w,
+                              defer_commit=True)
 
         # ---- mapping
         final = idx == self.n_img - 1
@@ -485,6 +530,7 @@ class PointNeRFSLAM:
                     outer = 1 if self.nice else 3
                     self._map_frame(idx, color, sensor_depth, gt_c2w,
                                     max(e.iters // outer, 1), outer)
+        self._commit_pending_pose()
         self.timings["frames"] += 1
 
     def _bootstrap_weak(self, idx, color, gt_c2w):

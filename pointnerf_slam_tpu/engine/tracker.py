@@ -40,6 +40,18 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
     He, We = ecfg.ignore_edge_H, ecfg.ignore_edge_W
     n_rays = ecfg.tracking_pixels
 
+    # fused full-render Pallas megakernel (ops/megakernel.py), reg pass
+    # skipped — tracking has no free-space regulation (Tracker.py:304-331)
+    from ..models.decoders import NICEConfig
+    from ..ops.megakernel import make_fused_render, supports_megakernel
+    nice = isinstance(model_cfg, NICEConfig)
+    use_mega = (ecfg.megakernel != "off" and not nice
+                and supports_megakernel(model_cfg, rcfg)
+                and (ecfg.megakernel == "on"
+                     or jax.default_backend() == "tpu"))
+    fused_render = (make_fused_render(rcfg, with_reg=False)
+                    if use_mega else None)
+
     def sample_rays(key, color, depth, c2w34):
         if ecfg.weak_depth:
             idx, _ = sample_uv_valid(key, depth > 0.01, n_rays)
@@ -54,9 +66,15 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
         c2w = camera_from_tensor(cam_tensor)
         k_s, k_r = jax.random.split(key)
         rays_o, rays_d, gt_d, gt_c = sample_rays(k_s, color, depth_sup, c2w)
-        dep, var, col, _ = render_rays(params, model_cfg, rcfg,
-                                       rays_o, rays_d, bound, k_r, gt_d,
-                                       c_grid=c_grid, stage="color")
+        if use_mega:
+            # perturb=0 => the XLA path never consumes k_r; draws identical
+            t_reg = jnp.zeros((n_rays, rcfg.N_samples))
+            dep, var, col, _ = fused_render(params, rays_o, rays_d, gt_d,
+                                            t_reg, bound)
+        else:
+            dep, var, col, _ = render_rays(params, model_cfg, rcfg,
+                                           rays_o, rays_d, bound, k_r, gt_d,
+                                           c_grid=c_grid, stage="color")
         var = jax.lax.stop_gradient(var)
         if ecfg.handle_dynamic:
             tmp = jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10)

@@ -1,0 +1,719 @@
+"""Fused Pallas TPU render megakernel: sample -> embed -> MLP -> composite.
+
+One kernel pair (fwd/bwd) per mapping iteration replaces the XLA renderer's
+three decoder boundaries (base pass, importance pass, regulation — see
+render/renderer.py:78-198 and PERF.md "Why the fused Pallas kernel doesn't
+win (yet)"). Per 128-ray tile, everything stays VMEM-resident end to end:
+
+  ray pack -> stratified z -> MLP pass 1 -> compositing weights
+           -> inverse-CDF importance samples (det) -> rank merge-sort
+           -> MLP pass 2 -> depth/var/color composite
+           -> regulation z (perturbed by caller-supplied uniforms) -> sigma
+
+so HBM sees only the (N, 8) ray pack, the (N, S) z/sigma planes, and the
+decoder weights (~0.7 MB, VMEM-resident) — none of the (N*S, 256) activation
+traffic that makes the XLA path HBM-bound (PERF.md roofline).
+
+Semantics mirror the flagship iMAP* mapping path exactly
+(capability of /root/reference/src/utils/Renderer.py:85-201,263-301 +
+src/common.py:19-63,204-245, as rebuilt in render/renderer.py and
+core/{sampling,compositing}.py):
+  - near = 0.01 * gt_depth; far = clip(AABB exit + 0.01, 0, 1.2 * max depth)
+  - N_samples stratified (perturb=0), no surface band, N_importance
+    deterministic inverse-CDF samples, full second evaluation
+  - out-of-AABB sentinel density 100 (Renderer.py:57)
+  - density compositing with the 1e10 last-interval sentinel, ||rays_d||
+    interval scaling, 1e-10 transmittance epsilon
+  - regulation sigma over [0, 0.85 * depth], stratified-perturbed with the
+    SAME uniforms stratified_zvals would draw (mapper passes them in).
+
+Gradient structure (why the backward kernel is tractable): sample_pdf and
+ray_far_bound are stop-gradient (core/sampling.py:87,122,28), so pass 1
+carries ZERO gradient and all z values are constants w.r.t. params/rays.
+The VJP therefore backprops only pass 2 + regulation: activations are
+recomputed per VMEM tile (same recipe as ops/fused_mlp.py's custom VJP),
+the cheap (T, S)-sized composite is differentiated with jax.vjp inside the
+kernel, and weight gradients accumulate across the sequential TPU grid.
+gt_depth / t_reg / bound receive zero cotangents — in the XLA path no
+optimization variable ever flows through them (they are data), matching the
+mapper/tracker use sites.
+
+Cumulative products/sums run as small (S, S) triangular matmuls instead of
+cumprod/cumsum — exact up to log/exp reassociation, and MXU/VPU-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.sampling import ray_far_bound
+from .fused_mlp import (_KP_ORDER, _dot, _dot_f32, _dot_nt, _dot_tn,
+                        pad_params, supports_fused, unpad_grads)
+
+TILE_R = 128          # rays per grid step
+# Per-sweep point budgets bound the live activation footprint: each MLP
+# sweep holds ~(PTS, 256) f32 activations per layer on the kernel stack.
+# Chunk loops are ROLLED (lax.fori_loop), not Python-unrolled: Mosaic's
+# scoped-VMEM stack allocator does not reuse buffers across unrolled
+# sweeps (2048-pt unrolled overflowed the 16 MiB limit; shrinking chunks
+# made it WORSE by adding sweeps), so one rolled body = one sweep's stack.
+# Mosaic lowers neither value dynamic_slice nor scan xs, so rolled loops
+# read their chunk through VMEM scratch refs with the chunk index on the
+# LEADING dim (dynamic ref indexing on the majormost dim is supported);
+# the scratch is filled by cheap unrolled static-slice copies.
+FWD_PTS = 8192        # max points per in-kernel MLP sweep (forward)
+BWD_PTS = 2816        # max points per in-kernel MLP sweep (backward)
+# Unrolled sweeps let Mosaic software-pipeline back-to-back matmuls
+# (rolled scf loops measured 43.6 it/s vs XLA's 61); the raised
+# vmem_limit_bytes makes the unrolled stack fit.
+UNROLL = True
+
+
+def _run_loop(n, body, init):
+    """Chunk-loop driver: body(i, carry) -> carry."""
+    if UNROLL or n == 1:
+        c = init
+        for i in range(n):
+            c = body(i, c)
+        return c
+    return jax.lax.fori_loop(0, n, body, init)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supports_megakernel(model_cfg, rcfg) -> bool:
+    """The megakernel covers the flagship iMAP* mapping configuration."""
+    try:
+        mlp_ok = supports_fused(model_cfg)
+    except AttributeError:
+        return False
+    return (mlp_ok
+            and rcfg.N_surface == 0
+            and rcfg.perturb == 0.0
+            and not rcfg.lindisp
+            and not rcfg.occupancy
+            and rcfg.N_importance > 0
+            and not rcfg.reuse_coarse)
+
+
+def _best_chunk(S: int, cap: int) -> int:
+    """Largest divisor of S that is <= cap (>= 1)."""
+    for c in range(min(S, max(cap, 1)), 0, -1):
+        if S % c == 0:
+            return c
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks (all operate on loaded VMEM arrays)
+# ---------------------------------------------------------------------------
+
+def _mlp_fwd(x4, kp):
+    """Padded-layout decoder forward: x4 (P, 4) -> raw (P, 4).
+
+    Identical math to ops/fused_mlp._fwd_kernel (bf16 matmuls, f32
+    accumulation; full-precision Fourier embedding)."""
+    emb = jnp.sin(_dot_f32(x4, kp["Bp"]))
+    h = jnp.maximum(_dot(emb, kp["W0p"]) + kp["b0"], 0.0)
+    h = jnp.maximum(_dot(h, kp["W1"]) + kp["b1"], 0.0)
+    h = jnp.maximum(_dot(h, kp["W2"]) + kp["b2"], 0.0)
+    h = jnp.maximum(_dot(h, kp["W3"]) + kp["b3"], 0.0)
+    out = _dot(h, kp["Woutp"]) + kp["boutp"]
+    return out[:, :4]
+
+
+def _mlp_bwd(x4, g4, kp, acc):
+    """Recompute-based decoder backward for one point chunk.
+
+    Accumulates weight grads into the `acc` refs (+=) and returns dx (P, 4).
+    Same math as ops/fused_mlp._bwd_kernel."""
+    xb = _dot_f32(x4, kp["Bp"])
+    emb = jnp.sin(xb)
+    h0 = jnp.maximum(_dot(emb, kp["W0p"]) + kp["b0"], 0.0)
+    h1 = jnp.maximum(_dot(h0, kp["W1"]) + kp["b1"], 0.0)
+    h2 = jnp.maximum(_dot(h1, kp["W2"]) + kp["b2"], 0.0)
+    h3 = jnp.maximum(_dot(h2, kp["W3"]) + kp["b3"], 0.0)
+
+    g = jnp.pad(g4, ((0, 0), (0, 124)))           # back to 128-wide head
+    acc["Woutp"][:] += _dot_tn(h3, g)
+    acc["boutp"][:] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot_nt(g, kp["Woutp"]) * (h3 > 0)
+    acc["W3"][:] += _dot_tn(h2, dh)
+    acc["b3"][:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, kp["W3"]) * (h2 > 0)
+    acc["W2"][:] += _dot_tn(h1, dh)
+    acc["b2"][:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, kp["W2"]) * (h1 > 0)
+    acc["W1"][:] += _dot_tn(h0, dh)
+    acc["b1"][:] += jnp.sum(dh, axis=0, keepdims=True)
+    dh = _dot_nt(dh, kp["W1"]) * (h0 > 0)
+    acc["W0p"][:] += _dot_tn(emb, dh)
+    acc["b0"][:] += jnp.sum(dh, axis=0, keepdims=True)
+    demb = _dot_nt(dh, kp["W0p"]) * jnp.cos(xb)
+    acc["Bp"][:] += jax.lax.dot_general(
+        x4, demb, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    dx = jax.lax.dot_general(
+        demb, kp["Bp"], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return dx
+
+
+def _chunk_pts(o3, d3, zc):
+    """(T, C) z chunk -> flattened padded points (T*C, 4)."""
+    T, C = zc.shape
+    pts = o3[:, None, :] + d3[:, None, :] * zc[..., None]    # (T, C, 3)
+    x = pts.reshape(T * C, 3)
+    return jnp.pad(x, ((0, 0), (0, 1)))
+
+
+def _inside_mask(x4, b6):
+    """(P, 1) strict-interior AABB test (renderer.py:73 parity)."""
+    return ((x4[:, 0:1] > b6[0]) & (x4[:, 0:1] < b6[1])
+            & (x4[:, 1:2] > b6[2]) & (x4[:, 1:2] < b6[3])
+            & (x4[:, 2:3] > b6[4]) & (x4[:, 2:3] < b6[5]))
+
+
+def _eval_chunk(o3, d3, zc, kp, b6):
+    """One MLP sweep over a (T, C) z chunk.
+
+    Returns per-channel planes r, g, b, sigma-with-sentinel, inside — each
+    (T, C). Channel PLANES instead of a (T, C, 3) array: a 3-wide minor
+    dim would pad to 128 lanes (42x VMEM waste)."""
+    T, C = zc.shape
+    x4 = _chunk_pts(o3, d3, zc)
+    raw = _mlp_fwd(x4, kp)
+    ins = _inside_mask(x4, b6)                                # (P, 1)
+    sig = jnp.where(ins, raw[:, 3:4], 100.0)
+    shp = lambda v: v.reshape(T, C)
+    return (shp(raw[:, 0:1]), shp(raw[:, 1:2]), shp(raw[:, 2:3]),
+            shp(sig), shp(ins.astype(jnp.float32)))
+
+
+def _eval_field(o3, d3, z, kp, b6, budget):
+    """Pure-JAX chunked field eval — the TEST REPLICA of the in-kernel
+    rolled loops (tests/test_megakernel.py kernel_replica; differentiable
+    since static-trip-count fori_loop lowers to scan outside Pallas).
+
+    Returns r, g, b, sigma-with-sentinel, inside (float 0/1), each (T, S).
+    The kernels themselves use scratch-ref loops (see _make_fwd_kernel) —
+    Mosaic cannot lower the value dynamic_slice used here."""
+    T, S = z.shape
+    C = _best_chunk(S, budget // T)
+    n = S // C
+    if n == 1:
+        return _eval_chunk(o3, d3, z, kp, b6)
+    zch = z.reshape(T, n, C)    # middle-dim chunk index: no transposes
+
+    def body(i, planes):
+        zc = jax.lax.dynamic_slice(zch, (0, i, 0), (T, 1, C))
+        outs = _eval_chunk(o3, d3, zc.reshape(T, C), kp, b6)
+        return tuple(
+            jax.lax.dynamic_update_slice(pl_, o.reshape(T, 1, C), (0, i, 0))
+            for pl_, o in zip(planes, outs))
+
+    init = tuple(jnp.zeros((T, n, C), jnp.float32) for _ in range(5))
+    planes = jax.lax.fori_loop(0, n, body, init)
+    return tuple(p.reshape(T, S) for p in planes)
+
+
+def _weights(sigma, z, dnorm):
+    """Density-mode compositing weights (core/compositing.py:29-45 parity).
+
+    The exclusive cumprod of (1 - alpha + 1e-10) runs as exp(logv @ U) with
+    U the strict upper-triangular ones matrix."""
+    S = z.shape[1]
+    d = z[:, 1:] - z[:, :-1]
+    dists = jnp.concatenate([d, jnp.full_like(z[:, :1], 1e10)], axis=1)
+    dists = dists * dnorm
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
+    # v = 1 - alpha + 1e-10 >= 1e-10 mathematically, but in-kernel the sum
+    # may reassociate to (1 + 1e-10) - alpha == 0 at alpha == 1; the clamp
+    # restores the exact intended value and keeps log() finite
+    logv = jnp.log(jnp.maximum(1.0 - alpha + 1e-10, 1e-10))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)       # row = j
+    jj = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)       # col = i
+    upper = (ii < jj).astype(jnp.float32)                     # U[j, i] = j < i
+    trans = jnp.exp(jnp.dot(logv, upper,
+                            preferred_element_type=jnp.float32))
+    return alpha * trans
+
+
+def _composite(r, g, b, sigma, z, dnorm):
+    """Full composite -> depth (T,1), var (T,1), color (T,3).
+
+    RGB arrives as three (T, S) planes (see _eval_chunk)."""
+    w = _weights(sigma, z, dnorm)
+    depth = jnp.sum(w * z, axis=1, keepdims=True)
+    tmp = z - depth
+    var = jnp.sum(w * tmp * tmp, axis=1, keepdims=True)
+    col = jnp.concatenate(
+        [jnp.sum(w * c, axis=1, keepdims=True) for c in (r, g, b)], axis=1)
+    return depth, var, col
+
+
+def _sample_pdf_det(z1, w1, SI):
+    """Deterministic inverse-CDF sampling (core/sampling.py:74-122 parity,
+    det=True). bins = z midpoints, weights = w1[:, 1:-1]."""
+    T, S1 = z1.shape
+    bins = 0.5 * (z1[:, 1:] + z1[:, :-1])                     # (T, M), M=S1-1
+    M = S1 - 1
+    w = w1[:, 1:-1] + 1e-5                                    # (T, M-1)
+    pdf = w / jnp.sum(w, axis=1, keepdims=True)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (M - 1, M - 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (M - 1, M - 1), 1)
+    incl = (ii <= jj).astype(jnp.float32)                     # inclusive cumsum
+    cdf = jnp.dot(pdf, incl, preferred_element_type=jnp.float32)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)  # (T, M)
+
+    kio = jax.lax.broadcasted_iota(jnp.int32, (T, SI), 1).astype(jnp.float32)
+    u = kio / (SI - 1)                                        # linspace(0,1,SI)
+    # searchsorted(side='right') as a dense compare (sampling.py:101)
+    le = (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32)  # (T, M, SI)
+    inds = jnp.sum(le, axis=1)                                # (T, SI)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(M - 1, inds)
+
+    mio = jax.lax.broadcasted_iota(jnp.int32, (T, SI, M), 2)
+    oh_b = (below[:, :, None] == mio).astype(jnp.float32)
+    oh_a = (above[:, :, None] == mio).astype(jnp.float32)
+    take = lambda oh, v: jnp.sum(oh * v[:, None, :], axis=2)
+    cdf_b, cdf_a = take(oh_b, cdf), take(oh_a, cdf)
+    bins_b, bins_a = take(oh_b, bins), take(oh_a, bins)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)                     # (T, SI)
+
+
+def _merge_sort(z1, zs):
+    """Stable ascending sort of concat([z1, zs]) via one-hot rank scatter
+    (parity with jnp.sort in renderer.py:136)."""
+    zcat = jnp.concatenate([z1, zs], axis=1)                  # (T, S2)
+    T, S2 = zcat.shape
+    zi = zcat[:, :, None]                                     # value at i
+    zj = zcat[:, None, :]                                     # value at j
+    lt = (zj < zi).astype(jnp.int32)
+    io = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)     # i
+    jo = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)     # j
+    ties = ((zj == zi) & (jo < io)[None]).astype(jnp.int32)
+    rank = jnp.sum(lt + ties, axis=2)                         # (T, S2)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (T, S2, S2), 2)
+    scatter = (rank[:, :, None] == kio).astype(jnp.float32)   # [t, i, k]
+    return jnp.sum(scatter * zcat[:, :, None], axis=1)        # (T, S2)
+
+
+def _reg_zvals(gtd, t_reg):
+    """Stratified-perturbed regulation depths over [0, 0.85 * gt_depth]
+    consuming caller-drawn uniforms (core/sampling.py:38-56 with near=0,
+    perturb=1; renderer.py:187-198)."""
+    T, SR = t_reg.shape
+    tv = jax.lax.broadcasted_iota(jnp.int32, (T, SR), 1).astype(jnp.float32)
+    base = (0.85 * gtd) * (tv / (SR - 1))
+    mids = 0.5 * (base[:, 1:] + base[:, :-1])
+    upper = jnp.concatenate([mids, base[:, -1:]], axis=1)
+    lower = jnp.concatenate([base[:, :1], mids], axis=1)
+    return lower + (upper - lower) * t_reg
+
+
+def _reg_z_chunk(gtd, tc, i, CR, SR):
+    """Columns [i*CR, (i+1)*CR) of _reg_zvals, computed analytically from
+    the chunk index (the stratified base grid is linear in the sample
+    index j: base_j = s*j with s = 0.85*gt_depth/(SR-1), so lower/upper
+    perturb bounds are s*(j -/+ 0.5) with endpoint clamps)."""
+    T, C = tc.shape
+    # int32 iota + cast: Mosaic rejects float-typed tpu.iota
+    jj = (jax.lax.broadcasted_iota(jnp.int32, (T, C), 1).astype(jnp.float32)
+          + i * CR)
+    s = (0.85 * gtd) / (SR - 1)
+    lower = jnp.where(jj < 0.5, 0.0, s * (jj - 0.5))
+    upper = jnp.where(jj > SR - 1.5, s * (SR - 1), s * (jj + 0.5))
+    return lower + (upper - lower) * tc
+
+
+def _unpack_rays(ray):
+    o = ray[:, 0:3]
+    d = ray[:, 3:6]
+    gtd = ray[:, 6:7]
+    far = ray[:, 7:8]
+    return o, d, gtd, far
+
+
+def _z_pass1(gtd, far, S1):
+    T = gtd.shape[0]
+    tv = jax.lax.broadcasted_iota(jnp.int32, (T, S1), 1).astype(jnp.float32)
+    tv = tv / (S1 - 1)
+    near = 0.01 * gtd
+    return near * (1.0 - tv) + far * tv
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _chunk_plan(S, budget):
+    C = _best_chunk(S, budget // TILE_R)
+    return C, S // C
+
+
+def _fwd_scratch(S1, SI, SR):
+    """Scratch shapes for the forward kernel (see module docstring on why
+    rolled loops stage chunks through VMEM scratch)."""
+    S2 = S1 + SI
+    C1, n1 = _chunk_plan(S1, FWD_PTS)
+    C2, n2 = _chunk_plan(S2, FWD_PTS)
+    CR, nr = _chunk_plan(SR, FWD_PTS)
+    T = TILE_R
+    v = lambda shape: pltpu.VMEM(shape, jnp.float32)
+    return [v((n1, T, C1)),                       # sig1s
+            v((n2, T, C2)), v((n2, T, C2)), v((n2, T, C2)),
+            v((n2, T, C2)), v((n2, T, C2)),       # z2s, r, g, b, sig2
+            v((nr, T, CR)), v((nr, T, CR))]       # treg chunks, sigr chunks
+
+
+def _cat_chunks(ref, n):
+    """(n, T, C) scratch -> (T, n*C) value via unrolled static reads."""
+    return jnp.concatenate([ref[k] for k in range(n)], axis=1)
+
+
+def _fill_chunks(ref, val, n, C):
+    """(T, n*C) value -> (n, T, C) scratch via unrolled static slices."""
+    for k in range(n):
+        ref[k] = val[:, k * C:(k + 1) * C]
+
+
+def _make_fwd_kernel(S1, SI, SR, with_reg):
+    S2 = S1 + SI
+    C1, n1 = _chunk_plan(S1, FWD_PTS)
+    C2, n2 = _chunk_plan(S2, FWD_PTS)
+    CR, nr = _chunk_plan(SR, FWD_PTS)
+
+    def kernel(ray_ref, treg_ref, bound_ref, *rest):
+        kp = dict(zip(_KP_ORDER, [r[:] for r in rest[:len(_KP_ORDER)]]))
+        out_small_ref, sigr_ref, z2_ref = \
+            rest[len(_KP_ORDER):len(_KP_ORDER) + 3]
+        (sig1s, z2s, rs, gs, bs, sg2s, tscr, srs) = \
+            rest[len(_KP_ORDER) + 3:]
+        b6 = [bound_ref[0, k] for k in range(6)]
+
+        ray = ray_ref[:]
+        o, d, gtd, far = _unpack_rays(ray)
+        dn = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        T = ray.shape[0]
+        near = 0.01 * gtd
+
+        # -- pass 1: stratified z is linear in the sample index, so each
+        #    rolled-loop chunk computes its own z analytically --
+        def p1_body(i, c):
+            tv = (jax.lax.broadcasted_iota(jnp.int32, (T, C1), 1)
+                  .astype(jnp.float32) + i * C1) / (S1 - 1)
+            zc = near * (1.0 - tv) + far * tv
+            _, _, _, sgc, _ = _eval_chunk(o, d, zc, kp, b6)
+            sig1s[i] = sgc
+            return c
+
+        _run_loop(n1, p1_body, 0)
+        sig1 = _cat_chunks(sig1s, n1)
+
+        z1 = _z_pass1(gtd, far, S1)
+        w1 = _weights(sig1, z1, dn)
+        zs = _sample_pdf_det(z1, w1, SI)
+        z2 = _merge_sort(z1, zs)
+        _fill_chunks(z2s, z2, n2, C2)
+
+        def p2_body(i, c):
+            rc, gc, bc, sgc, _ = _eval_chunk(o, d, z2s[i], kp, b6)
+            rs[i] = rc
+            gs[i] = gc
+            bs[i] = bc
+            sg2s[i] = sgc
+            return c
+
+        _run_loop(n2, p2_body, 0)
+        r2 = _cat_chunks(rs, n2)
+        g2 = _cat_chunks(gs, n2)
+        b2 = _cat_chunks(bs, n2)
+        sig2 = _cat_chunks(sg2s, n2)
+        depth, var, col = _composite(r2, g2, b2, sig2, z2, dn)
+        out_small_ref[:] = jnp.concatenate(
+            [depth, var, col, jnp.zeros_like(ray[:, :3])], axis=1)
+        z2_ref[:] = z2
+
+        if with_reg:
+            _fill_chunks(tscr, treg_ref[:], nr, CR)
+
+            def reg_body(i, c):
+                zc = _reg_z_chunk(gtd, tscr[i], i, CR, SR)
+                _, _, _, sgc, _ = _eval_chunk(o, d, zc, kp, b6)
+                srs[i] = sgc
+                return c
+
+            _run_loop(nr, reg_body, 0)
+            sigr_ref[:] = _cat_chunks(srs, nr)
+        else:
+            sigr_ref[:] = jnp.zeros((T, SR), jnp.float32)
+
+    return kernel
+
+
+def _bwd_scratch(S1, SI, SR):
+    """Scratch shapes for the backward kernel: pass-2 z/plane/cotangent
+    chunks (plane scratch is REUSED for the cotangents once the composite
+    VJP has consumed the planes) + regulation treg/cotangent chunks."""
+    S2 = S1 + SI
+    C2, n2 = _chunk_plan(S2, BWD_PTS)
+    CR, nr = _chunk_plan(SR, BWD_PTS)
+    T = TILE_R
+    v = lambda shape: pltpu.VMEM(shape, jnp.float32)
+    return ([v((n2, T, C2)) for _ in range(5)]
+            + [v((nr, T, CR)) for _ in range(2)])
+
+
+def _make_bwd_kernel(S1, SI, SR, with_reg):
+    S2 = S1 + SI
+    C2, n2 = _chunk_plan(S2, BWD_PTS)
+    CR, nr = _chunk_plan(SR, BWD_PTS)
+
+    def kernel(ray_ref, treg_ref, z2_ref, gsm_ref, gsr_ref, bound_ref,
+               *rest):
+        # full weight set: the recompute of pass-2 raws needs boutp too
+        kp = dict(zip(_KP_ORDER, [r[:] for r in rest[:len(_KP_ORDER)]]))
+        dray_ref = rest[len(_KP_ORDER)]
+        n_acc = len(_KP_ORDER)
+        acc = dict(zip(_KP_ORDER,
+                       rest[len(_KP_ORDER) + 1:len(_KP_ORDER) + 1 + n_acc]))
+        (z2s, rs, gs, bs, sg2s, tscr, gsrs) = \
+            rest[len(_KP_ORDER) + 1 + n_acc:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in acc.values():
+                r[:] = jnp.zeros_like(r)
+
+        b6 = [bound_ref[0, k] for k in range(6)]
+        ray = ray_ref[:]
+        o, d, gtd, _ = _unpack_rays(ray)
+        z2 = z2_ref[:]
+        T = ray.shape[0]
+
+        gsm = gsm_ref[:]
+        gdep, gvar, gcol = gsm[:, 0:1], gsm[:, 1:2], gsm[:, 2:5]
+
+        # -- pass 2 recompute (rolled), then composite backward (autodiff
+        #    over the small (T, S) math), then rolled MLP backward sweeps --
+        _fill_chunks(z2s, z2, n2, C2)
+
+        def p2_body(i, c):
+            rc, gc, bc, sgc, _ = _eval_chunk(o, d, z2s[i], kp, b6)
+            rs[i] = rc
+            gs[i] = gc
+            bs[i] = bc
+            sg2s[i] = sgc
+            return c
+
+        _run_loop(n2, p2_body, 0)
+        r2 = _cat_chunks(rs, n2)
+        g2 = _cat_chunks(gs, n2)
+        b2 = _cat_chunks(bs, n2)
+        sig2 = _cat_chunks(sg2s, n2)
+
+        def comp_fn(r_, g_, b_, sig, dvec):
+            # 1e-24 keeps the sqrt grad finite on zero-padded rays; real
+            # rays have ||d|| ~ 1 so the shift is below f32 resolution
+            dnorm = jnp.sqrt(jnp.sum(dvec * dvec, axis=1, keepdims=True)
+                             + 1e-24)
+            return _composite(r_, g_, b_, sig, z2, dnorm)
+
+        _, comp_vjp = jax.vjp(comp_fn, r2, g2, b2, sig2, d)
+        gr, gg, gb, gsig, gdvec = comp_vjp((gdep, gvar, gcol))
+        # planes are consumed; reuse their scratch for the cotangents
+        _fill_chunks(rs, gr, n2, C2)
+        _fill_chunks(gs, gg, n2, C2)
+        _fill_chunks(bs, gb, n2, C2)
+        _fill_chunks(sg2s, gsig, n2, C2)
+
+        def sweep(zc, grc, ggc, gbc, gsc, carry):
+            """One recompute+backward MLP sweep over a (T, C) chunk.
+
+            The sigma cotangent is masked to in-AABB points HERE (sentinel
+            density 100 is a constant); rgb cotangents flow everywhere, as
+            in the XLA path (out-of-bound rgb still enters the composite).
+            Accumulates weight grads into `acc` refs; carry holds the six
+            (T, 1) d_o / d_d component planes."""
+            Tc, C = zc.shape
+            x4 = _chunk_pts(o, d, zc)
+            # (T, C) -> (T*C, 1) directly is a lane->sublane shape cast
+            # Mosaic can't lower; expand to (T, C, 1), concat on the minor
+            # axis, and collapse sublanes (the same pattern _chunk_pts
+            # lowers fine)
+            insf = _inside_mask(x4, b6).astype(jnp.float32).reshape(Tc, C)
+            g4 = jnp.concatenate(
+                [grc[..., None], ggc[..., None], gbc[..., None],
+                 (gsc * insf)[..., None]], axis=2).reshape(Tc * C, 4)
+            dx = _mlp_bwd(x4, g4, kp, acc)
+            pln = lambda k: dx[:, k:k + 1].reshape(Tc, C)
+            dxx, dxy, dxz = pln(0), pln(1), pln(2)
+            dox, doy, doz, ddx, ddy, ddz = carry
+            s = lambda v: jnp.sum(v, axis=1, keepdims=True)
+            return (dox + s(dxx), doy + s(dxy), doz + s(dxz),
+                    ddx + s(dxx * zc), ddy + s(dxy * zc), ddz + s(dxz * zc))
+
+        zc1 = jnp.zeros((T, 1), jnp.float32)
+        carry = (zc1, zc1, zc1,
+                 gdvec[:, 0:1], gdvec[:, 1:2], gdvec[:, 2:3])
+
+        def p2_sweep(i, c):
+            return sweep(z2s[i], rs[i], gs[i], bs[i], sg2s[i], c)
+
+        carry = _run_loop(n2, p2_sweep, carry)
+
+        # -- regulation backward --
+        if with_reg:
+            _fill_chunks(tscr, treg_ref[:], nr, CR)
+            _fill_chunks(gsrs, gsr_ref[:], nr, CR)
+            zeroc = jnp.zeros((T, CR), jnp.float32)
+
+            def reg_sweep(i, c):
+                zc = _reg_z_chunk(gtd, tscr[i], i, CR, SR)
+                return sweep(zc, zeroc, zeroc, zeroc, gsrs[i], c)
+
+            carry = _run_loop(nr, reg_sweep, carry)
+
+        dray_ref[:] = jnp.concatenate(
+            list(carry) + [jnp.zeros((T, 2), jnp.float32)], axis=1)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+def _row_spec(cols):
+    return pl.BlockSpec((TILE_R, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+_BOUND_SPEC_SHAPE = (1, 8)
+
+
+def _bound_spec():
+    return pl.BlockSpec(_BOUND_SPEC_SHAPE, lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def make_fused_render(rcfg, with_reg: bool = True):
+    """Build the fused render callable for a static RenderConfig.
+
+    Returns fused_render(params, rays_o, rays_d, gt_depth, t_reg, bound)
+      -> (depth (N,), depth_var (N,), color (N, 3), sigma_reg (N, N_samples))
+    differentiable w.r.t. params / rays_o / rays_d (zero cotangents for
+    gt_depth, t_reg, bound — data inputs on every call path)."""
+    S1, SI, SR = rcfg.N_samples, rcfg.N_importance, rcfg.N_samples
+    S2 = S1 + SI
+    fwd_kernel = _make_fwd_kernel(S1, SI, SR, with_reg)
+    bwd_kernel = _make_bwd_kernel(S1, SI, SR, with_reg)
+
+    def _fwd_call(pk, tr, b8, kp):
+        n = pk.shape[0]
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n // TILE_R,),
+            in_specs=[_row_spec(8), _row_spec(SR), _bound_spec()]
+            + [_full_spec(kp[k].shape) for k in _KP_ORDER],
+            out_specs=[_row_spec(8), _row_spec(SR), _row_spec(S2)],
+            out_shape=[jax.ShapeDtypeStruct((n, 8), jnp.float32),
+                       jax.ShapeDtypeStruct((n, SR), jnp.float32),
+                       jax.ShapeDtypeStruct((n, S2), jnp.float32)],
+            scratch_shapes=_fwd_scratch(S1, SI, SR),
+            # the kernel's rolled sweeps + sort matrices need more than the
+            # 16 MiB default scoped-VMEM reservation; v5e has 128 MiB
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=_interpret(),
+        )(pk, tr, b8, *[kp[k] for k in _KP_ORDER])
+
+    def _bwd_call(pk, tr, z2, gsm, gsr, b8, kp):
+        n = pk.shape[0]
+        grad_shapes = [jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
+                       for k in _KP_ORDER]
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n // TILE_R,),
+            in_specs=[_row_spec(8), _row_spec(SR), _row_spec(S2),
+                      _row_spec(8), _row_spec(SR), _bound_spec()]
+            + [_full_spec(kp[k].shape) for k in _KP_ORDER],
+            out_specs=[_row_spec(8)]
+            + [_full_spec(kp[k].shape) for k in _KP_ORDER],
+            out_shape=[jax.ShapeDtypeStruct((n, 8), jnp.float32)]
+            + grad_shapes,
+            scratch_shapes=_bwd_scratch(S1, SI, SR),
+            # weight-grad accumulators carry across grid steps: sequential
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=_interpret(),
+        )(pk, tr, z2, gsm, gsr, b8, *[kp[k] for k in _KP_ORDER])
+
+    def _pack(rays_o, rays_d, gt_d, t_reg, bound):
+        far_bb = ray_far_bound(rays_o, rays_d, bound)
+        far = jnp.clip(far_bb, 0.0, jnp.max(gt_d * 1.2))
+        pk = jnp.concatenate(
+            [rays_o, rays_d, gt_d[:, None], far[:, None]], axis=1)
+        n = pk.shape[0]
+        npad = (-n) % TILE_R
+        pk = jnp.pad(pk, ((0, npad), (0, 0)))
+        tr = jnp.pad(t_reg, ((0, npad), (0, 0)))
+        b8 = jnp.zeros(_BOUND_SPEC_SHAPE, jnp.float32).at[0, :6].set(
+            bound.reshape(-1).astype(jnp.float32))
+        return pk, tr, b8, n
+
+    def _forward(params, rays_o, rays_d, gt_d, t_reg, bound):
+        kp = pad_params(params)
+        pk, tr, b8, n = _pack(rays_o, rays_d, gt_d, t_reg, bound)
+        small, sigr, z2 = _fwd_call(pk, tr, b8, kp)
+        outs = (small[:n, 0], small[:n, 1], small[:n, 2:5], sigr[:n])
+        return outs, (params, pk, tr, b8, z2, n)
+
+    @jax.custom_vjp
+    def fused_render(params, rays_o, rays_d, gt_d, t_reg, bound):
+        return _forward(params, rays_o, rays_d, gt_d, t_reg, bound)[0]
+
+    def _fwd_rule(params, rays_o, rays_d, gt_d, t_reg, bound):
+        outs, res = _forward(params, rays_o, rays_d, gt_d, t_reg, bound)
+        return outs, res + (gt_d, t_reg, bound)
+
+    def _bwd_rule(res, g):
+        params, pk, tr, b8, z2, n, gt_d, t_reg, bound = res
+        gdep, gvar, gcol, gsigr = g
+        npad = pk.shape[0] - n
+        gsm = jnp.pad(
+            jnp.concatenate([gdep[:, None], gvar[:, None], gcol,
+                             jnp.zeros((n, 3), jnp.float32)], axis=1),
+            ((0, npad), (0, 0)))
+        gsr = jnp.pad(gsigr, ((0, npad), (0, 0)))
+        kp = pad_params(params)
+        outs = _bwd_call(pk, tr, z2, gsm, gsr, b8, kp)
+        dray = outs[0]
+        gk = dict(zip(_KP_ORDER, outs[1:]))
+        dparams = unpad_grads(gk, emb=params["embedder"]["B"].shape[1])
+        return (dparams, dray[:n, 0:3], dray[:n, 3:6],
+                jnp.zeros_like(gt_d), jnp.zeros_like(t_reg),
+                jnp.zeros_like(bound))
+
+    fused_render.defvjp(_fwd_rule, _bwd_rule)
+    return fused_render
