@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# repo-local persistent compile cache: the fused-VG Pallas kernels
+# take minutes to compile cold; this survives /tmp cleanup between
+# sessions/driver runs on the same machine
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 
 BASELINE_FPS = 5.0 / (50 * 0.0323 + 300 * 0.0449)
 

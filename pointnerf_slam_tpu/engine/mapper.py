@@ -83,6 +83,7 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
     # fused full-render Pallas megakernel (ops/megakernel.py): one kernel
     # pair per iteration instead of 3 render/regulation boundaries
+    from ..ops.fused_vg import make_fused_vg, supports_fused_vg
     from ..ops.megakernel import make_fused_render, supports_megakernel
     use_mega = (ecfg.megakernel != "off" and not nice
                 and supports_megakernel(model_cfg, rcfg)
@@ -93,6 +94,13 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
     dec_lr = (decoders_lr if decoders_lr is not None
               else ecfg.imap_decoders_lr)
     color_in_loss = (not nice) or stage == "color"
+    # ... and past that, the single-kernel value-and-grad (ops/fused_vg.py)
+    # computes loss + all gradients in ONE pallas call with zero backward
+    # recompute (activations stay VMEM-resident)
+    use_vg = use_mega and supports_fused_vg(model_cfg, rcfg)
+    vg_fn = (make_fused_vg(rcfg, "mapper", ecfg.w_color_loss_m, 0.0005,
+                           with_color=color_in_loss)
+             if use_vg else None)
 
     def sample_frame_rays(key, color_u8, depth, c2w34):
         if ecfg.weak_depth:
@@ -104,6 +112,46 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         rays_o, rays_d = rays_from_uv(i, j, c2w34, ecfg.fx, ecfg.fy,
                                       ecfg.cx, ecfg.cy)
         return rays_o, rays_d, d, c
+
+    def sample_frame_pixels(key, color_u8, depth):
+        """sample_frame_rays minus ray generation (identical RNG draws);
+        rays are built separately under jax.vjp so the fused-VG kernel's
+        d(loss)/d(rays) chains to the BA camera tensors."""
+        if ecfg.weak_depth:
+            idx, _ = sample_uv_valid(key, depth > 0.01, pixs_per_frame)
+        else:
+            idx = sample_uv_uniform(key, W, 0, H, 0, W, pixs_per_frame)
+        return gather_pixels(idx, W, depth,
+                             color_u8.astype(jnp.float32) / 255.0)
+
+    def vg_loss(opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
+                bound, key, n_valid_frames):
+        """loss_fn's fused single-kernel twin (use_vg): identical RNG draws
+        and loss value; gradients come from ops/fused_vg, with the camera
+        chain rule closed through a jax.vjp over ray generation."""
+        params = opt_vars["params"]
+        keys = jax.random.split(key, max_frames + 1)
+        i_pix, j_pix, gt_d, gt_c = jax.vmap(sample_frame_pixels)(
+            keys[:max_frames], colors, depths)
+
+        def rays_fn(cams_opt):
+            cams = jnp.where(ba_mask[:, None], cams_opt, fixed_cams)
+            c2w = camera_from_tensor(cams)              # (F, 3, 4)
+            ro, rd = jax.vmap(lambda i, j, c: rays_from_uv(
+                i, j, c, ecfg.fx, ecfg.fy, ecfg.cx, ecfg.cy))(
+                    i_pix, j_pix, c2w)
+            return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+        (rays_o, rays_d), rays_vjp = jax.vjp(rays_fn, opt_vars["cams"])
+        ray_w = jnp.repeat(frame_valid.astype(jnp.float32), pixs_per_frame)
+        ray_w = ray_w * (max_frames / jnp.maximum(n_valid_frames, 1))
+        _, k_reg = jax.random.split(keys[-1])   # k_render never consumed
+        t_reg = jax.random.uniform(k_reg, (rays_o.shape[0], rcfg.N_samples))
+        loss, dparams, dro, drd, _aux = vg_fn(
+            params, rays_o, rays_d, gt_d.reshape(-1), gt_c.reshape(-1, 3),
+            ray_w, t_reg, bound)
+        (dcams,) = rays_vjp((dro, drd))
+        return loss, {"params": dparams, "cams": dcams, "grids": {}}
 
     def loss_fn(opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
                 bound, key, n_valid_frames):
@@ -199,9 +247,14 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
             opt_vars, opt_state = carry
             if mesh is not None:
                 k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-            loss, grads = jax.value_and_grad(loss_fn)(
-                opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
-                bound, k, n_valid_frames)
+            if use_vg:
+                loss, grads = vg_loss(
+                    opt_vars, fixed_cams, frame_valid, ba_mask, colors,
+                    depths, bound, k, n_valid_frames)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    opt_vars, fixed_cams, frame_valid, ba_mask, colors,
+                    depths, bound, k, n_valid_frames)
             if mesh is not None:
                 grads = jax.lax.psum(grads, "data")   # all-reduce over ICI
                 loss = jax.lax.psum(loss, "data")

@@ -51,6 +51,17 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
                      or jax.default_backend() == "tpu"))
     fused_render = (make_fused_render(rcfg, with_reg=False)
                     if use_mega else None)
+    # single-kernel loss value-and-grad (ops/fused_vg.py): camera-only
+    # gradients (param_grads=False skips the weight contractions). The
+    # handle_dynamic median mask is cross-ray state the kernel can't see,
+    # so that (non-flagship) config keeps the two-kernel path.
+    from ..ops.fused_vg import make_fused_vg, supports_fused_vg
+    use_vg = (use_mega and supports_fused_vg(model_cfg, rcfg)
+              and ecfg.depth_supervision and not ecfg.handle_dynamic)
+    vg_fn = (make_fused_vg(rcfg, "tracker", ecfg.w_color_loss_t,
+                           with_color=ecfg.use_color_in_tracking,
+                           param_grads=False)
+             if use_vg else None)
 
     def sample_rays(key, color, depth, c2w34):
         if ecfg.weak_depth:
@@ -111,13 +122,40 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
         opt_vars = split(cam_tensor)
         opt_state = tx.init(opt_vars)
 
+        def vg_loss(cam, k):
+            """loss_fn's fused single-kernel twin (use_vg): identical RNG
+            draws and loss; camera gradient = kernel d(loss)/d(rays)
+            chained through jax.vjp of ray generation."""
+            k_s, _ = jax.random.split(k)
+            if ecfg.weak_depth:
+                idx, _ = sample_uv_valid(k_s, depth_sup > 0.01, n_rays)
+            else:
+                idx = sample_uv_uniform(k_s, W, He, H - He, We, W - We,
+                                        n_rays)
+            i, j, gt_d, gt_c = gather_pixels(idx, W, depth_sup, color)
+
+            def rays_fn(c):
+                return rays_from_uv(i, j, camera_from_tensor(c), ecfg.fx,
+                                    ecfg.fy, ecfg.cx, ecfg.cy)
+
+            (ro, rd), rays_vjp = jax.vjp(rays_fn, cam)
+            t0 = jnp.zeros((n_rays, rcfg.N_samples))
+            loss, _dp, dro, drd, _aux = vg_fn(params, ro, rd, gt_d, gt_c,
+                                              jnp.ones_like(gt_d), t0,
+                                              bound)
+            (dcam,) = rays_vjp((dro, drd))
+            return loss, dcam
+
         def body(carry, k):
             opt_vars, opt_state, best_cam, best_loss = carry
             cam = join(opt_vars)
-            loss, grads = jax.value_and_grad(
-                lambda c: loss_fn(c, params, c_grid, color, depth_sup,
-                                  bound, k)
-            )(cam)
+            if use_vg:
+                loss, grads = vg_loss(cam, k)
+            else:
+                loss, grads = jax.value_and_grad(
+                    lambda c: loss_fn(c, params, c_grid, color, depth_sup,
+                                      bound, k)
+                )(cam)
             improved = loss < best_loss
             best_cam = jnp.where(improved, cam, best_cam)
             best_loss = jnp.where(improved, loss, best_loss)

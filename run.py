@@ -10,10 +10,15 @@ import random
 import numpy as np
 
 # reuse compiled programs across processes (first compiles are ~minutes)
-os.makedirs("/tmp/jax_cache", exist_ok=True)
+# repo-local persistent compile cache: the fused-VG Pallas kernels
+# take minutes to compile cold; this survives /tmp cleanup between
+# sessions/driver runs on the same machine
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 
 from pointnerf_slam_tpu.engine import PointNeRFSLAM
 from pointnerf_slam_tpu.io.config import load_config

@@ -1,0 +1,113 @@
+"""Single-kernel fused value-and-grad vs autodiff of the (already verified)
+two-kernel megakernel render path, interpret mode on CPU.
+
+The megakernel's forward/VJP parity against the XLA renderer is established
+in tests/test_megakernel.py; here the oracle is jax.value_and_grad over a
+loss assembled from make_fused_render outputs with the exact engine loss
+shapes (engine/mapper.py loss_fn, engine/tracker.py loss_fn)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf_slam_tpu.models.decoders import MLPConfig, init_mlp
+from pointnerf_slam_tpu.ops.fused_vg import make_fused_vg, supports_fused_vg
+from pointnerf_slam_tpu.ops.megakernel import make_fused_render
+from pointnerf_slam_tpu.render.renderer import RenderConfig
+
+CFG = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=256, skips=(),
+                n_blocks=4)
+RCFG = RenderConfig(N_samples=32, N_surface=0, N_importance=12)
+BOUND = jnp.array([[-4.0, 4.0], [-4.0, 4.0], [-4.0, 4.0]])
+W_COLOR_M, W_REG = 0.05, 0.0005
+W_COLOR_T = 0.5
+
+
+def setup(n=260, seed=3):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    params = init_mlp(ks[0], CFG)
+    rays_o = jax.random.uniform(ks[1], (n, 3), minval=-1.0, maxval=1.0)
+    d = jax.random.normal(ks[2], (n, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    rays_d = rays_d * jax.random.uniform(ks[3], (n, 1), minval=0.9,
+                                         maxval=1.3)
+    gt_d = jax.random.uniform(ks[4], (n,), minval=0.5, maxval=2.5)
+    # a few invalid-depth rays exercise the mask path
+    gt_d = gt_d.at[::7].set(0.0)
+    gt_c = jax.random.uniform(ks[5], (n, 3))
+    t_reg = jax.random.uniform(ks[6], (n, RCFG.N_samples))
+    ray_w = jnp.ones((n,)).at[1::5].set(1.5)   # frame-budget weights
+    return params, rays_o, rays_d, gt_d, gt_c, t_reg, ray_w
+
+
+def _cmp_trees(ga, gb, rtol=2e-2, atol=None):
+    fa = jax.tree_util.tree_flatten_with_path(ga)[0]
+    fb = jax.tree_util.tree_flatten_with_path(gb)[0]
+    for (ka, a), (kb, b) in zip(sorted(fa, key=lambda kv: str(kv[0])),
+                                sorted(fb, key=lambda kv: str(kv[0]))):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a, b, atol=rtol * scale, err_msg=str(ka))
+
+
+def test_supports():
+    assert supports_fused_vg(CFG, RCFG)
+    assert not supports_fused_vg(CFG, RenderConfig(N_samples=128,
+                                                   N_surface=0,
+                                                   N_importance=128))
+
+
+def test_mapper_mode_matches_megakernel_autodiff():
+    params, ro, rd, gt_d, gt_c, t_reg, ray_w = setup()
+    fused = make_fused_render(RCFG, with_reg=True)
+
+    def loss_ref(p, ro_, rd_):
+        dep, var, col, sig = fused(p, ro_, rd_, gt_d, t_reg, BOUND)
+        mask = (gt_d > 0).astype(jnp.float32) * ray_w
+        loss = jnp.sum(jnp.abs(gt_d - dep) * mask)
+        loss += W_COLOR_M * jnp.sum(jnp.abs(gt_c - col).sum(-1) * ray_w)
+        loss += W_REG * jnp.sum(jnp.abs(sig) * ray_w[:, None])
+        return loss
+
+    l_ref, (gp_ref, go_ref, gd_ref) = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2))(params, ro, rd)
+
+    vg = make_fused_vg(RCFG, "mapper", W_COLOR_M, W_REG)
+    l, gp, go, gd, (dep, var, col) = vg(params, ro, rd, gt_d, gt_c, ray_w,
+                                        t_reg, BOUND)
+
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-3)
+    _cmp_trees(gp, gp_ref)
+    _cmp_trees({"o": go, "d": gd}, {"o": go_ref, "d": gd_ref})
+    # aux monitors equal the fused render outputs
+    dep_f, var_f, col_f, _ = fused(params, ro, rd, gt_d, t_reg, BOUND)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(dep_f),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(col_f),
+                               atol=1e-3)
+
+
+def test_tracker_mode_matches_megakernel_autodiff():
+    params, ro, rd, gt_d, gt_c, t_reg, _ = setup(seed=5)
+    n = ro.shape[0]
+    fused = make_fused_render(RCFG, with_reg=False)
+    t0 = jnp.zeros((n, RCFG.N_samples))
+
+    def loss_ref(p, ro_, rd_):
+        dep, var, col, _ = fused(p, ro_, rd_, gt_d, t0, BOUND)
+        var = jax.lax.stop_gradient(var)
+        mask = (gt_d > 0).astype(jnp.float32)
+        loss = jnp.sum(jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10) * mask)
+        loss += W_COLOR_T * jnp.sum(jnp.abs(gt_c - col).sum(-1) * mask)
+        return loss
+
+    l_ref, (gp_ref, go_ref, gd_ref) = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2))(params, ro, rd)
+
+    vg = make_fused_vg(RCFG, "tracker", W_COLOR_T)
+    ray_w = jnp.ones((n,))
+    l, gp, go, gd, _ = vg(params, ro, rd, gt_d, gt_c, ray_w, t0, BOUND)
+
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-3)
+    _cmp_trees(gp, gp_ref)
+    _cmp_trees({"o": go, "d": gd}, {"o": go_ref, "d": gd_ref})
