@@ -55,11 +55,11 @@ from .megakernel import (_bound_spec, _chunk_pts, _composite, _full_spec,
 # Mosaic's compile time scales with straight-line vector IR size (~points
 # per sweep), and the single-kernel body is the fwd+bwd superset — 128-ray
 # tiles compiled for tens of minutes, 64-ray tiles are tractable.
-TILE = 128
+TILE = 64
 
 # VMEM ceiling for the resident activations: (P2 + PR) * (4 + 128 + 4*256)
 # * 4B must fit beside the working set under the raised vmem limit.
-_MAX_PTS = 25600
+_MAX_PTS = 12800
 
 
 def _vrow(cols):
@@ -424,10 +424,16 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
                        jax.ShapeDtypeStruct((pk.shape[0], 8), jnp.float32)]
             + grad_shapes,
             scratch_shapes=_vg_scratch(S1, SI, SR, with_reg),
-            # weight-grad accumulators carry across grid steps: sequential
+            # weight-grad accumulators carry across grid steps: sequential.
+            # vmem_limit must cover the kernel's REAL scoped usage (~36M at
+            # TILE=64) while leaving physical headroom for the enclosing
+            # XLA program's buffers: a 100M limit compiled and ran bare,
+            # but crashed the TPU worker at runtime inside the engine's
+            # sampling+gather scan (physical VMEM overrun — the compiler
+            # check is bypassed by the override).
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=44 * 1024 * 1024),
             interpret=_interpret(),
         )(pk, aux, tr, b8, *[kp[k] for k in _KP_ORDER])
         outv, dray = outs[0], outs[1]

@@ -643,7 +643,7 @@ def make_fused_render(rcfg, with_reg: bool = True):
             # 16 MiB default scoped-VMEM reservation; v5e has 128 MiB
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
-                vmem_limit_bytes=96 * 1024 * 1024),
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret(),
         )(pk, tr, b8, *[kp[k] for k in _KP_ORDER])
 
@@ -665,7 +665,7 @@ def make_fused_render(rcfg, with_reg: bool = True):
             # weight-grad accumulators carry across grid steps: sequential
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=96 * 1024 * 1024),
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret(),
         )(pk, tr, z2, gsm, gsr, b8, *[kp[k] for k in _KP_ORDER])
 
