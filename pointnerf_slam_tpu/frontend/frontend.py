@@ -31,6 +31,7 @@ import numpy as np
 from ..core.se3 import inv_T
 from .epipolar import estimate_relative_pose_ransac
 from .features import HarrisExtractor, SuperPointExtractor
+from .mapstore import _KF_REGISTRY, KeyFrame, Map
 from .matching import match_two_way
 from .pseudo_depth import splat_pseudo_depth
 from .triangulate import point_checks, triangulate_points
@@ -92,6 +93,18 @@ class SparseFrontend:
         self.median_gt_depth: Optional[float] = None
         self.prev = None  # dict: frame_idx, kps, desc, valid
         self.telemetry = []
+        # persistent sparse map (src/map.py live bookkeeping): accepted
+        # triangulations become MapPoints observed in both frames; alive
+        # points re-project into later frames so the pseudo-depth draws on
+        # MULTI-frame structure instead of only the latest two-view pair
+        self.use_map = bool(cfg.get("map_points", True))
+        self.map = Map(max_frames=cfg.get("map_max_frames", 20)) \
+            if self.use_map else None
+        self.map_proj_budget = int(cfg.get("map_proj_budget", 2048))
+        self.map_cull_every = int(cfg.get("map_cull_every", 5))
+        self.map_max_points = int(cfg.get("map_max_points", 12000))
+        self._kfs = {}          # frame_idx -> KeyFrame (bounded window)
+        self._kf_order = []
 
     # -- helpers -----------------------------------------------------------
     def _extract(self, color_np: np.ndarray):
@@ -180,6 +193,99 @@ class SparseFrontend:
             jnp.asarray(uv, jnp.float32), jnp.asarray(z, jnp.float32),
             jnp.asarray(accept), self.H, self.W, self.depth_patch)
 
+    def _kf_for(self, frame_idx, kpn_full, desc, valid, Tcw_cv):
+        """Get-or-create the bounded-window KeyFrame for a frame."""
+        kf = self._kfs.get(frame_idx)
+        if kf is None:
+            kf = KeyFrame(frame_idx, np.asarray(kpn_full),
+                          np.asarray(desc), np.asarray(valid),
+                          np.asarray(Tcw_cv))
+            self._kfs[frame_idx] = kf
+            self._kf_order.append(frame_idx)
+            self.map.add_keyframe(kf)
+            while len(self._kf_order) > self.map.frames.maxlen:
+                old = self._kf_order.pop(0)
+                old_kf = self._kfs.pop(old)
+                old_kf.is_bad = True
+                _KF_REGISTRY.pop(old_kf.id, None)
+        return kf
+
+    def _map_update(self, idx, kf_cur, kf_ref, idx2, pts3d, accept,
+                    Tcw_cur_cv):
+        """Persistent-map bookkeeping + multi-frame depth support (weak #7,
+        src/map.py:191-311 + the search_points fuse semantics):
+
+        1. data association: an accepted current keypoint that re-projects
+           within assoc_px of an alive map point AND matches its best
+           descriptor gains an OBSERVATION on that point (fuse) instead of
+           spawning a duplicate;
+        2. the rest become new MapPoints observed in both frames;
+        3. cull by mean reprojection error (px-scaled gate);
+        4. return up to map_proj_budget re-projections of CONFIRMED points
+           (>= min_obs observations, i.e. structure corroborated across
+           3+ frames) for the current frame's pseudo-depth."""
+        alive = [mp for mp in self.map.points if not mp.is_bad]
+        kpn = kf_cur.kps
+        u_kp = kpn[:, 0] * self.fx + self.cx
+        v_kp = kpn[:, 1] * self.fy + self.cy
+
+        u = v = z = None
+        if alive:
+            pts = np.stack([mp.pt for mp in alive])
+            pc = pts @ Tcw_cur_cv[:3, :3].T + Tcw_cur_cv[:3, 3]
+            z = pc[:, 2]
+            front = z > 1e-3
+            u = pc[:, 0] / np.maximum(z, 1e-6) * self.fx + self.cx
+            v = pc[:, 1] / np.maximum(z, 1e-6) * self.fy + self.cy
+            inside = front & (u >= 0) & (u < self.W) & (v >= 0) \
+                & (v < self.H)
+
+        # -- 1+2: associate-or-create --
+        assoc_px = 2.5
+        new_mask = np.array(accept, copy=True)
+        if alive:
+            cand = np.flatnonzero(inside)
+            if len(cand):
+                du = u[cand][None, :] - u_kp[:, None]
+                dv = v[cand][None, :] - v_kp[:, None]
+                d2 = du * du + dv * dv
+                best = np.argmin(d2, axis=1)
+                near = d2[np.arange(len(kpn)), best] < assoc_px ** 2
+                for i in np.flatnonzero(np.asarray(accept) & near):
+                    mp = alive[cand[best[i]]]
+                    desc_i = kf_cur.desc[i]
+                    if mp.des is not None and np.linalg.norm(
+                            mp.des - desc_i) < self.nn_thresh:
+                        mp.add_observation(kf_cur, int(i), desc_i)
+                        new_mask[i] = False
+        self.map.add_points(np.asarray(pts3d), new_mask, kf_cur, kf_ref,
+                            np.arange(len(new_mask)), np.asarray(idx2))
+
+        # -- 3: cadence cull (px-scaled: 2 px mean reprojection) --
+        if len(self._kf_order) % self.map_cull_every == 0:
+            self.map.cull_points(max_reproj_err_n=2.0 / float(self.fx))
+        if len(self.map.points) > self.map_max_points:
+            drop = len(self.map.points) - self.map_max_points
+            self.map.points = self.map.points[drop:]   # oldest out
+
+        # -- 4: confirmed-point projections --
+        B = self.map_proj_budget
+        uv_m = np.zeros((B, 2), np.float32)
+        z_m = np.zeros((B,), np.float32)
+        acc_m = np.zeros((B,), bool)
+        if alive:
+            nobs = np.array([len(mp.observations) for mp in alive])
+            zmin = 0.05 * (self.median_gt_depth or 1.0)
+            sel = np.flatnonzero(inside & (nobs >= 3) & (z > zmin))
+            if len(sel) > B:
+                sel = sel[np.argsort(-nobs[sel], kind="stable")[:B]]
+            k = len(sel)
+            uv_m[:k, 0] = u[sel]
+            uv_m[:k, 1] = v[sel]
+            z_m[:k] = z[sel]
+            acc_m[:k] = True
+        return uv_m, z_m, acc_m
+
     # -- public API ----------------------------------------------------------
     def bootstrap(self, frame_reader, ref_idx: int, cur_idx: int,
                   ref_c2w_nerf: np.ndarray):
@@ -204,7 +310,41 @@ class SparseFrontend:
         pseudo_ref = self._splat(uv_ref, z_ref, accept)
         pseudo_cur = self._splat(uv_cur, z_cur, accept)
         self.prev = {"frame_idx": cur_idx, "feats": feats_cur}
+        if self.map is not None:
+            # seed the persistent map with the (scale-anchored) bootstrap
+            # structure: re-triangulate with the FINAL scaled pose and
+            # register both KeyFrames + accepted MapPoints
+            self._map_register_from_feats(
+                cur_idx, feats_cur, ref_idx, feats_ref,
+                np.asarray(Tcw_cur_cv), Tcw_ref_cv)
         return cv_w2c_to_nerf_c2w(Tcw_cur_cv), pseudo_ref, pseudo_cur
+
+    def _map_register_from_feats(self, idx_c, feats_c, idx_r, feats_r,
+                                 Tcw_c, Tcw_r):
+        """Match + triangulate + gate + register a frame pair into the
+        persistent map (bootstrap seeding path)."""
+        kps_c, desc_c, val_c = feats_c
+        kps_r, desc_r, val_r = feats_r
+        idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
+                                        self.nn_thresh)
+        kpn_c = self._kpn(kps_c)
+        kpn_r_full = self._kpn(kps_r)
+        pts3d, ok = triangulate_points(
+            jnp.asarray(Tcw_c), jnp.asarray(Tcw_r), kpn_c,
+            kpn_r_full[idx2])
+        acc, z_c, _, _, _ = point_checks(
+            pts3d, jnp.asarray(Tcw_c), jnp.asarray(Tcw_r), kpn_c,
+            kpn_r_full[idx2], self.fx, max_reproj_px=3.0)
+        accept = np.asarray(acc & mvalid & ok)
+        if self.median_gt_depth is not None:
+            zc = np.asarray(z_c)
+            accept = accept & (zc > 0.25 * self.median_gt_depth) \
+                & (zc < 4.0 * self.median_gt_depth)
+        kf_r = self._kf_for(idx_r, np.asarray(kpn_r_full), desc_r, val_r,
+                            Tcw_r)
+        kf_c = self._kf_for(idx_c, np.asarray(kpn_c), desc_c, val_c,
+                            Tcw_c)
+        self._map_update(idx_c, kf_c, kf_r, idx2, pts3d, accept, Tcw_c)
 
     def pseudo_depth_for(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,
@@ -224,15 +364,29 @@ class SparseFrontend:
         _, color_cur, _, _ = frame_reader[idx]
         feats_cur = self._extract(color_cur)
         ref_idx = self.prev["frame_idx"]
+        kps_r, desc_r, val_r = self.prev["feats"]
+        kpn_ref_full = self._kpn(kps_r)
+        if self.map is not None:
+            # prefer an OLDER cached frame as the triangulation partner:
+            # at SLAM inter-frame baselines the tracker's pose noise is
+            # comparable to the baseline, and DLT conditioning improves
+            # linearly with baseline length (pyslam triangulates against
+            # covisible KEYFRAMES for the same reason)
+            older = [i for i in self._kf_order if idx - i >= 8]
+            if older:
+                kf = self._kfs[older[-1]]
+                ref_idx = kf.frame_idx
+                kpn_ref_full = jnp.asarray(kf.kps, jnp.float32)
+                desc_r, val_r = (jnp.asarray(kf.desc),
+                                 jnp.asarray(kf.valid))
         Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
         Tcw_cur_cv = nerf_c2w_to_cv_w2c(cur_c2w_pred)
 
-        kps_r, desc_r, val_r = self.prev["feats"]
         kps_c, desc_c, val_c = feats_cur
         idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
                                         self.nn_thresh)
         kpn_cur = self._kpn(kps_c)
-        kpn_ref = self._kpn(kps_r)[idx2]
+        kpn_ref = kpn_ref_full[idx2]
 
         pts3d, ok = triangulate_points(
             jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv), kpn_cur,
@@ -248,12 +402,36 @@ class SparseFrontend:
             accept = np.asarray(acc & mvalid & ok)
             if accept.sum() >= 16:
                 break
+        # scene-scale sanity: at SLAM baselines the pose noise can be
+        # comparable to the baseline itself, and DLT then fabricates
+        # "points" floating right next to the cameras (large parallax,
+        # tiny reprojection error — every classical gate passes). The
+        # bootstrap anchored the metric scale, so depths far outside the
+        # scene's depth range are geometrically impossible, not data.
+        if self.median_gt_depth is not None:
+            zc = np.asarray(z_cur)
+            accept = accept & (zc > 0.25 * self.median_gt_depth) \
+                & (zc < 4.0 * self.median_gt_depth)
         self.telemetry.append({
             "idx": idx, "n_matches": int(np.asarray(mvalid).sum()),
             "n_inliers": -1, "n_accept": int(accept.sum()),
             "scale": float(self.depth_scale or 1.0)})
         self.prev = {"frame_idx": idx, "feats": feats_cur}
-        if accept.sum() < 8:
-            return None
         uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
-        return self._splat(uv_cur, np.asarray(z_cur), accept)
+        z_cur = np.asarray(z_cur)
+        if self.map is not None:
+            # the map hook runs BEFORE the sparsity early-exit: even a pair
+            # too thin to splat still contributes observations, and
+            # confirmed map projections can carry the frame by themselves
+            kf_ref = self._kf_for(ref_idx, np.asarray(kpn_ref_full),
+                                  desc_r, val_r, Tcw_ref_cv)
+            kf_cur = self._kf_for(idx, np.asarray(kpn_cur), desc_c, val_c,
+                                  Tcw_cur_cv)
+            uv_m, z_m, acc_m = self._map_update(
+                idx, kf_cur, kf_ref, idx2, pts3d, accept, Tcw_cur_cv)
+            uv_cur = np.concatenate([uv_cur, uv_m], axis=0)
+            z_cur = np.concatenate([z_cur, z_m], axis=0)
+            accept = np.concatenate([accept, acc_m], axis=0)
+        if int(np.asarray(accept).sum()) < 8:
+            return None
+        return self._splat(uv_cur, z_cur, accept)

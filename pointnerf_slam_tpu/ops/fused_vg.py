@@ -1,13 +1,21 @@
-"""Single-kernel fused value-and-grad for the flagship render losses.
+"""Fused value-and-grad for the flagship render losses.
 
-One Pallas TPU kernel computes, per 128-ray tile, the ENTIRE mapping (or
-tracking) loss iteration: sample -> embed -> MLP -> composite -> loss ->
-backward -> gradients. Against the two-kernel megakernel (ops/megakernel.py,
-custom-VJP pair) this removes ALL backward recompute: pass-2 and regulation
+One optimization iteration = two Pallas TPU kernels with a thin XLA middle:
+
+  [p1 kernel]  stratified pass-1 sigma (forward-only, parallel grid)
+  [XLA]        compositing weights -> inverse-CDF resample -> merge-sort
+               (pure-jnp one-hot helpers; in-kernel this machinery measured
+               2.1 ms/iter on the VPU, in XLA it is noise)
+  [main kernel] regulation + importance sweeps -> composite -> per-ray loss
+               cotangents -> manual MLP backward -> all gradients
+
+Against the two-kernel megakernel (ops/megakernel.py, custom-VJP pair) the
+main kernel removes ALL backward recompute: pass-2 and regulation
 activations stay resident in VMEM scratch between the forward sweep and the
 backward sweep, so the FLOP count drops to the theoretical fwd + 2x-bwd
-minimum (the XLA path's count) while keeping the megakernel's fused memory
-traffic (HBM sees rays in, loss/grads out, nothing else).
+minimum (the XLA path's count) while keeping the fused memory traffic
+(HBM sees rays, z-planes, loss/grads — none of the (N*S, 256) activation
+streams that bound the XLA path).
 
 This is possible because the flagship losses are per-ray decomposable
 (handle_dynamic=False in the reference flagship configs - reference
@@ -220,12 +228,32 @@ def _dray_accum(demb, Bp, zc, carry, T, S):
             ddx + s(dxx * zc), ddy + s(dxy * zc), ddz + s(dxz * zc))
 
 
+def _make_p1_kernel(S1):
+    """Pass-1 forward: stratified sigma plane only (gradient-free; feeds
+    the XLA-side CDF resampling between the two kernels)."""
+
+    def kernel(ray_ref, bound_ref, *rest):
+        kp = dict(zip(_KP_ORDER, [r[:] for r in rest[:len(_KP_ORDER)]]))
+        sig1_ref = rest[len(_KP_ORDER)]
+        b6 = [bound_ref[0, k] for k in range(6)]
+        o, d, gtd, far = _unpack_rays(ray_ref[:])
+        T = o.shape[0]
+        z1 = _z_pass1(gtd, far, S1)
+        x1 = _chunk_pts(o, d, z1)
+        raw1_3 = _mlp_fwd_full(x1, kp).reshape(T, S1, 128)
+        ins1f = _inside_plane(o, d, z1, b6)
+        sig1_ref[:] = jnp.where(ins1f > 0, _extract_plane(raw1_3, 3),
+                                100.0)
+
+    return kernel
+
+
 def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
                     param_grads):
     S2 = S1 + SI
     with_reg = mode == "mapper"
 
-    def kernel(ray_ref, aux_ref, treg_ref, bound_ref, *rest):
+    def kernel(ray_ref, aux_ref, treg_ref, z2_ref, bound_ref, *rest):
         kp = dict(zip(_KP_ORDER, [r[:] for r in rest[:len(_KP_ORDER)]]))
         nk = len(_KP_ORDER)
         outv_ref, dray_ref = rest[nk], rest[nk + 1]
@@ -245,39 +273,20 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
         o, d, gtd, far = _unpack_rays(ray)
         dn = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
         T = ray.shape[0]
+        # z2 arrives precomputed: pass 1 runs in the small _p1 kernel and
+        # the CDF/merge-sort runs as plain XLA between the two kernels (the
+        # same pure-jnp helpers; in-kernel the one-hot machinery measured
+        # 2.1 ms/iter, in XLA it is noise — round-1 PERF)
+        z2 = z2_ref[:]
 
-        # ---- forward sweep A: stratified pass 1 + regulation samples in
-        #      ONE MLP sweep (both are independent of the importance
-        #      resampling; only the regulation segment stores activations
-        #      — pass 1 is gradient-free) ----
-        z1 = _z_pass1(gtd, far, S1)
+        # ---- forward: regulation sweep (activations stored) ----
         if with_reg:
             zr = _reg_zvals(gtd, treg_ref[:])
-            # point-space block concat keeps each segment's rows contiguous
-            # (_chunk_pts orders points ray-major within a segment)
-            xa = jnp.concatenate(
-                [_chunk_pts(o, d, z1), _chunk_pts(o, d, zr)], axis=0)
-            xrs[:] = xa[T * S1:]
-            rawa = _mlp_fwd_store(xa, kp, ers, hrs, lo=T * S1)
-            raw1_3 = rawa[:T * S1].reshape(T, S1, 128)
-            rawr_3 = rawa[T * S1:].reshape(T, SR, 128)
-            ins1f = _inside_plane(o, d, z1, b6)
-            sig1 = jnp.where(ins1f > 0, _extract_plane(raw1_3, 3), 100.0)
+            xr = _chunk_pts(o, d, zr)
+            xrs[:] = xr
+            rawr_3 = _mlp_fwd_store(xr, kp, ers, hrs).reshape(T, SR, 128)
             insrf = _inside_plane(o, d, zr, b6)
             sigr = jnp.where(insrf > 0, _extract_plane(rawr_3, 3), 100.0)
-        else:
-            x1 = _chunk_pts(o, d, z1)
-            raw1_3 = _mlp_fwd_full(x1, kp).reshape(T, S1, 128)
-            ins1f = _inside_plane(o, d, z1, b6)
-            sig1 = jnp.where(ins1f > 0, _extract_plane(raw1_3, 3), 100.0)
-
-        import os as _os
-        if _os.environ.get("_VG_SKIP_SORT"):       # perf-bisect stub only
-            z2 = jnp.concatenate([z1, z1[:, :SI] * 1.01], axis=1)
-        else:
-            w1 = _weights(sig1, z1, dn)
-            zs = _sample_pdf_det(z1, w1, SI)
-            z2 = _merge_sort(z1, zs)
 
         # ---- forward sweep B: importance pass (activations stored) ----
         x2 = _chunk_pts(o, d, z2)
@@ -316,10 +325,6 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
         outv_ref[:] = jnp.concatenate(
             [loss_ray, depth, var, col, jnp.zeros((T, 2), jnp.float32)],
             axis=1)
-
-        if _os.environ.get("_VG_FWD_ONLY"):        # perf-bisect stub only
-            dray_ref[:] = jnp.zeros((T, 8), jnp.float32)
-            return
 
         # ---- backward: composite VJP (small (T, S) math, autodiffed) ----
         def comp_fn(r_, g_, b_, sig, dvec):
@@ -395,6 +400,7 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
     with_reg = mode == "mapper"
     kernel = _make_vg_kernel(S1, SI, SR, mode, with_color,
                              float(w_color), float(w_reg), param_grads)
+    p1_kernel = _make_p1_kernel(S1)
 
     def vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound):
         kp = pad_params(params)
@@ -413,10 +419,38 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
             bound.reshape(-1).astype(jnp.float32))
         grad_shapes = [jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
                        for k in _KP_ORDER]
+
+        # kernel 1: pass-1 sigma (parallel grid, small working set)
+        sig1 = pl.pallas_call(
+            p1_kernel,
+            grid=(pk.shape[0] // TILE,),
+            in_specs=[_vrow(8), _bound_spec()]
+            + [_full_spec(kp[k].shape) for k in _KP_ORDER],
+            out_specs=_vrow(S1),
+            out_shape=jax.ShapeDtypeStruct((pk.shape[0], S1), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=44 * 1024 * 1024),
+            interpret=_interpret(),
+        )(pk, b8, *[kp[k] for k in _KP_ORDER])
+
+        # XLA middle: stratified z, compositing weights, inverse-CDF
+        # importance resampling, rank merge-sort — identical pure-jnp
+        # helpers to the in-kernel versions, all stop-gradient
+        gtd_c = pk[:, 6:7]
+        dn = jnp.sqrt(jnp.sum(pk[:, 3:6] ** 2, axis=1, keepdims=True))
+        z1 = _z_pass1(gtd_c, pk[:, 7:8], S1)
+        w1 = _weights(sig1, z1, dn)
+        zs = _sample_pdf_det(z1, w1, SI)
+        # native XLA sort (renderer.py:136 parity; the kernel-friendly
+        # one-hot _merge_sort exists for in-kernel use only)
+        z2 = jnp.sort(jnp.concatenate([z1, zs], axis=1), axis=1)
+
         outs = pl.pallas_call(
             kernel,
             grid=(pk.shape[0] // TILE,),
-            in_specs=[_vrow(8), _vrow(8), _vrow(SR), _bound_spec()]
+            in_specs=[_vrow(8), _vrow(8), _vrow(SR), _vrow(S2),
+                      _bound_spec()]
             + [_full_spec(kp[k].shape) for k in _KP_ORDER],
             out_specs=[_vrow(8), _vrow(8)]
             + [_full_spec(kp[k].shape) for k in _KP_ORDER],
@@ -435,7 +469,7 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=44 * 1024 * 1024),
             interpret=_interpret(),
-        )(pk, aux, tr, b8, *[kp[k] for k in _KP_ORDER])
+        )(pk, aux, tr, z2, b8, *[kp[k] for k in _KP_ORDER])
         outv, dray = outs[0], outs[1]
         gk = dict(zip(_KP_ORDER, outs[2:]))
         loss = jnp.sum(outv[:n, 0])

@@ -39,8 +39,18 @@ class TestWeakPipeline:
         rel = np.abs(p5[m] - d5[m]) / d5[m]
         assert float(np.median(rel)) < 0.15
 
-        # continuous frames got pseudo-depth too (intended behavior)
-        assert 10 in slam.pseudo_depths or 15 in slam.pseudo_depths
+        # continuous-mode pseudo-depth is quality-gated (scene-scale z
+        # gate, see test_map_wiring): at this toy's tiny baselines the
+        # gate may reject everything, but whatever survives must be
+        # scene-consistent — junk supervision is worse than none
+        for i in slam.pseudo_depths:
+            p = np.asarray(slam.pseudo_depths[i])
+            m = p > 0.01
+            if m.sum() == 0:
+                continue
+            _, _, d, _ = slam.frame_reader[i]
+            rel_i = np.abs(p[m] - np.asarray(d)[m]) / np.asarray(d)[m]
+            assert float(np.median(rel_i)) < 0.2, (i, np.median(rel_i))
 
         # all poses populated and finite; bounded drift on the easy orbit
         assert np.isfinite(est).all()
