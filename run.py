@@ -57,7 +57,8 @@ def supervise(args) -> int:
         return int(os.path.basename(path).split(".")[0]) if path else -1
 
     chunk = args.frames_per_attempt
-    resume = args.resume
+    # a relaunched supervisor continues from the run's own checkpoints
+    resume = args.resume or latest_ckpt()
     for attempt in range(args.max_restarts + 1):
         cmd = list(base)
         start = ckpt_idx(resume) + 1 if resume else 0
