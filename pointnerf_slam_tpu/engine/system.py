@@ -498,11 +498,11 @@ class PointNeRFSLAM:
                 self._bootstrap_weak(idx, color, gt_c2w)
             elif self._bootstrapped and idx % e.track_every_frame == 0 and \
                     self.mapping_first_frame_done:
-                # track first (stale pseudo-depth supervision, reference
-                # behavior), then triangulate with the refined pose to
-                # produce THIS frame's pseudo-depth for the mapper
-                self._track_frame(idx, color, sensor_depth, gt_c2w)
+                # intended reference design (Tracker.py:825-834 note):
+                # two-view solve pose + pseudo-depth FIRST, then NeRF-refine
+                # the pose with that fresh supervision
                 self._frontend_frame(idx, color)
+                self._track_frame(idx, color, sensor_depth, gt_c2w)
             else:
                 self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
         else:
@@ -530,6 +530,18 @@ class PointNeRFSLAM:
                     outer = 1 if self.nice else 3
                     self._map_frame(idx, color, sensor_depth, gt_c2w,
                                     max(e.iters // outer, 1), outer)
+                # P1 overlap (weak mode): the mapper scan was dispatched
+                # asynchronously — read + extract the NEXT tracked frame's
+                # features now, while the device is busy mapping
+                if (e.weak_depth and self._bootstrapped
+                        and self.frontend is not None and not final):
+                    nxt = (idx // e.track_every_frame + 1) \
+                        * e.track_every_frame
+                    if nxt < self.n_img:
+                        t0 = time.time()
+                        self.frontend.prefetch_extract(self.frame_reader,
+                                                       nxt)
+                        self.timings["frontend"] += time.time() - t0
         self._commit_pending_pose()
         self.timings["frames"] += 1
 
@@ -575,17 +587,64 @@ class PointNeRFSLAM:
                   f"{err_t:.2f} rotation error: {err_r:.2f}")
         self.timings["frontend"] += time.time() - t0
 
+    def _field_depth_at(self, idx):
+        """Callback for the frontend's field-consistency gate: render the
+        CURRENT neural field's depth at sparse pixel coords under frame
+        idx's pose estimate (one jitted sparse-ray render per tracked
+        frame; static shape = the extractor's keypoint budget)."""
+        if getattr(self, "_field_depth_jit", None) is None:
+            from ..core.rays import rays_from_uv
+            from ..render.renderer import render_rays
+            model_cfg, rcfg = self.model_cfg, self.rcfg
+            fx, fy, cx, cy = self.fx, self.fy, self.cx, self.cy
+
+            @jax.jit
+            def f(params, c_grid, cam7, uv, bound, key):
+                c2w = to_homogeneous(camera_from_tensor(cam7))
+                rays_o, rays_d = rays_from_uv(uv[:, 0], uv[:, 1], c2w,
+                                              fx, fy, cx, cy)
+                depth, _, _, _ = render_rays(
+                    params, model_cfg, rcfg, rays_o, rays_d, bound, key,
+                    None, c_grid or None)
+                return depth
+
+            self._field_depth_jit = f
+
+        def fn(uv_px: np.ndarray) -> np.ndarray:
+            cam7 = jnp.asarray(self._cam7(self.estimate_c2w_list[idx]))
+            return np.asarray(self._field_depth_jit(
+                self.params, self.c_grid, cam7,
+                jnp.asarray(uv_px, jnp.float32), self.bound,
+                self._next_key()))
+
+        return fn
+
     def _frontend_frame(self, idx, color):
-        """Per-tracked-frame pseudo-depth by known-pose triangulation
-        (intended continuous behavior of the weak pipeline; PARITY.md #2).
-        The current pose is predicted by the motion model; the NeRF tracker
-        refines it right after using this pseudo-depth as supervision."""
+        """Per-tracked-frame front-end pass (intended continuous behavior
+        of the weak pipeline; PARITY.md #2): two-view E-matrix pose +
+        field-scale-anchored triangulated pseudo-depth. The solved pose
+        initializes the NeRF tracker, which refines it right after using
+        this pseudo-depth as supervision."""
         if self.frontend is None:
             return
         t0 = time.time()
-        pseudo = self.frontend.pseudo_depth_for(
+        # field renders use a motion-model predicted pose for frame idx:
+        # const-speed at TRACKED-frame granularity (non-tracked frames are
+        # pose copies, so adjacent-frame differencing would predict zero
+        # motion)
+        step = self.ecfg.track_every_frame
+        if idx - 2 * step >= 0 and self.ecfg.const_speed_assumption:
+            pre = self.estimate_c2w_list[idx - step]
+            prepre = self.estimate_c2w_list[idx - 2 * step]
+            self.estimate_c2w_list[idx] = pre @ np.linalg.inv(prepre) @ pre
+        else:
+            self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
+        est_c2w, pseudo = self.frontend.track_continuous(
             self.frame_reader, idx, self.estimate_c2w_list,
-            self.estimate_c2w_list[idx])
+            field_depth_fn=(self._field_depth_at(idx)
+                            if self.mapping_first_frame_done else None))
+        if est_c2w is not None:
+            self._pose_init_override = est_c2w
         if pseudo is not None:
             self.pseudo_depths[idx] = pseudo
         self.timings["frontend"] += time.time() - t0
@@ -618,4 +677,10 @@ class PointNeRFSLAM:
             if getattr(self, "visualizer", None) is not None and idx > 0:
                 self.visualizer.vis(self, idx, depth, color,
                                     self.estimate_c2w_list[idx])
+            if getattr(self, "match_visualizer", None) is not None:
+                self.match_visualizer.vis(self, idx)
+        if self.mesher is not None:
+            # a chunked attempt (--n_frames) can end with a mesh job
+            # mid-flight; finish it so no periodic mesh is lost
+            self.mesher.flush(self)
         return self.estimate_c2w_list, self.gt_c2w_list

@@ -95,8 +95,9 @@ def _sep_conv(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _harris_extract(gray, *, max_kps, nms_radius, border, k, min_conf,
-                    rel_conf, patch):
+def harris_score(gray: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Raw Harris corner response map (the detector teacher for the
+    distilled SuperPoint checkpoint, tools/train_superpoint.py)."""
     g = gray.astype(jnp.float32)
     gb = _sep_conv(g, jnp.array([0.25, 0.5, 0.25]))
     dy = jnp.gradient(gb, axis=0)
@@ -107,7 +108,14 @@ def _harris_extract(gray, *, max_kps, nms_radius, border, k, min_conf,
     ixy = _sep_conv(dx * dy, blur)
     det = ixx * iyy - ixy * ixy
     tr = ixx + iyy
-    score = det - k * tr * tr
+    return det - k * tr * tr
+
+
+def _harris_extract(gray, *, max_kps, nms_radius, border, k, min_conf,
+                    rel_conf, patch):
+    g = gray.astype(jnp.float32)
+    gb = _sep_conv(g, jnp.array([0.25, 0.5, 0.25]))
+    score = harris_score(gray, k)
     nms_score = jnp.where(_maxpool_nms(score, nms_radius), score, -jnp.inf)
     kps, valid, _ = _topk_keypoints(nms_score, max_kps, border, min_conf,
                                     rel_conf)
@@ -173,6 +181,25 @@ def load_superpoint_torch(path: str):
             "w": jnp.asarray(sd[f"{name}.weight"].numpy()),
             "b": jnp.asarray(sd[f"{name}.bias"].numpy()),
         }
+    return params
+
+
+def save_superpoint_npz(path: str, params):
+    """Save SuperPoint params as a flat npz (the distilled-checkpoint
+    format; no torch needed to load it back)."""
+    flat = {}
+    for name, p in params.items():
+        flat[f"{name}.w"] = np.asarray(p["w"])
+        flat[f"{name}.b"] = np.asarray(p["b"])
+    np.savez_compressed(path, **flat)
+
+
+def load_superpoint_npz(path: str):
+    z = np.load(path)
+    params = {}
+    for k in z.files:
+        name, kind = k.rsplit(".", 1)
+        params.setdefault(name, {})[kind] = jnp.asarray(z[k])
     return params
 
 
@@ -246,7 +273,9 @@ class SuperPointExtractor:
     def __init__(self, weights_path: str | None = None, max_kps: int = 3000,
                  conf_thresh: float = 0.015, nms_dist: int = 4,
                  border: int = 4, key=None):
-        if weights_path is not None:
+        if weights_path is not None and weights_path.endswith(".npz"):
+            self.params = load_superpoint_npz(weights_path)
+        elif weights_path is not None:
             self.params = load_superpoint_torch(weights_path)
         else:
             self.params = init_superpoint(

@@ -82,13 +82,7 @@ class SparseFrontend:
         if extractor is not None:
             self.extractor = extractor
         else:
-            sp_path = cfg.get("superpoint_weights",
-                              "pretrained/superpoint_v1.pth")
-            if os.path.exists(sp_path) and H % 8 == 0 and W % 8 == 0:
-                self.extractor = SuperPointExtractor(sp_path,
-                                                     max_kps=self.max_kps)
-            else:
-                self.extractor = HarrisExtractor(max_kps=self.max_kps)
+            self.extractor = self._default_extractor(cfg, H, W)
         self.depth_scale: Optional[float] = None
         self.median_gt_depth: Optional[float] = None
         self.prev = None  # dict: frame_idx, kps, desc, valid
@@ -105,6 +99,31 @@ class SparseFrontend:
         self.map_max_points = int(cfg.get("map_max_points", 12000))
         self._kfs = {}          # frame_idx -> KeyFrame (bounded window)
         self._kf_order = []
+        self._feat_cache = {}   # frame_idx -> prefetched features (P1)
+        self.last_debug = None  # latest two-view match record (draw.py)
+
+    def _default_extractor(self, cfg, H, W):
+        """Weak-mode default: the SuperPoint CNN (the reference's flagship
+        extractor, src/frame.py:271) when weights are available and the
+        image divides the 8x8 cell grid, else Harris.
+
+        Weight search order: `superpoint_weights` from the config (.pth =
+        public torch checkpoint via the converter, .npz = our distilled
+        checkpoint; 'none' forces Harris), then the in-repo distilled
+        checkpoint pretrained/superpoint_synthetic.npz
+        (tools/train_superpoint.py)."""
+        sp_cfg = cfg.get("superpoint_weights",
+                         "pretrained/superpoint_v1.pth")
+        if str(sp_cfg).lower() in ("none", "off", "false") \
+                or H % 8 or W % 8:
+            return HarrisExtractor(max_kps=self.max_kps)
+        repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
+        for cand in (sp_cfg,
+                     os.path.join(repo_root, "pretrained",
+                                  "superpoint_synthetic.npz")):
+            if cand and os.path.exists(cand):
+                return SuperPointExtractor(cand, max_kps=self.max_kps)
+        return HarrisExtractor(max_kps=self.max_kps)
 
     # -- helpers -----------------------------------------------------------
     def _extract(self, color_np: np.ndarray):
@@ -119,10 +138,28 @@ class SparseFrontend:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def prefetch_extract(self, frame_reader, idx: int):
+        """P1 pipeline overlap (SURVEY §2.4): read + dispatch feature
+        extraction for a FUTURE tracked frame right after the mapper scan
+        is dispatched — the host image read overlaps the device's mapping
+        work and the extraction queues behind it, so when the frame's turn
+        comes its features are already (being) computed."""
+        if idx in self._feat_cache:
+            return
+        _, color, _, _ = frame_reader[idx]
+        self._feat_cache.clear()  # keep at most one in-flight prefetch
+        self._feat_cache[idx] = self._extract(color)
+
     # -- core two-view procedure -------------------------------------------
     def _two_view(self, feats_ref, feats_cur, Tcw_ref_cv: np.ndarray,
-                  set_scale: bool):
-        """Returns (Tcw_cur_cv, uv/z for both frames, accept mask, stats)."""
+                  set_scale: bool, scale_fn=None):
+        """Returns (Tcw_cur_cv, uv/z for both frames, accept mask, stats).
+
+        scale_fn: optional (uv_cur_px, z_cur_unit, accept) -> s override for
+        the baseline scale — continuous pairs have a different physical
+        baseline than the bootstrap pair, so the bootstrap's depth_scale
+        does not transfer; the field-anchored scale (median rendered depth /
+        median unit-baseline depth) does."""
         kps_r, desc_r, val_r = feats_ref
         kps_c, desc_c, val_c = feats_cur
 
@@ -156,6 +193,12 @@ class SparseFrontend:
             median_depth = float(np.median(z_cur_np[acc_np]))
             self.depth_scale = self.median_gt_depth / median_depth
         s = self.depth_scale
+        if scale_fn is not None and acc_np.sum() >= 4:
+            uv_px = np.asarray(uvn_cur) * [self.fx, self.fy] \
+                + [self.cx, self.cy]
+            s_new = scale_fn(uv_px, z_cur_np, acc_np)
+            if s_new is not None and np.isfinite(s_new) and s_new > 0:
+                s = float(s_new)
 
         # scale baseline + structure about the ref camera center
         C_ref = -Tcw_ref_cv[:3, :3].T @ Tcw_ref_cv[:3, 3]
@@ -309,6 +352,10 @@ class SparseFrontend:
 
         pseudo_ref = self._splat(uv_ref, z_ref, accept)
         pseudo_cur = self._splat(uv_cur, z_cur, accept)
+        self.last_debug = {"ref_idx": ref_idx, "cur_idx": cur_idx,
+                           "kps_ref": np.asarray(uv_ref),
+                           "kps_cur": np.asarray(uv_cur),
+                           "accept": np.asarray(accept)}
         self.prev = {"frame_idx": cur_idx, "feats": feats_cur}
         if self.map is not None:
             # seed the persistent map with the (scale-anchored) bootstrap
@@ -346,9 +393,126 @@ class SparseFrontend:
                             Tcw_c)
         self._map_update(idx_c, kf_c, kf_r, idx2, pts3d, accept, Tcw_c)
 
+    def _field_scale_fn(self, field_depth_fn):
+        """Baseline-scale anchor for continuous pairs: make the median
+        triangulated depth match the median depth the CURRENT field renders
+        at the same pixels."""
+        if field_depth_fn is None:
+            return None
+
+        def fn(uv_px, z_unit, acc):
+            zf = np.asarray(field_depth_fn(uv_px))
+            ok = acc & (zf > 1e-3) & (z_unit > 1e-6)
+            if ok.sum() < 4:
+                return None
+            return float(np.median(zf[ok]) / np.median(z_unit[ok]))
+
+        return fn
+
+    def _quality_gates(self, accept, z_cur, uv_cur, field_depth_fn):
+        """Scene-scale OR field-consistency acceptance (PARITY #20 + the
+        round-3 recovery gate). Returns (accept, n_scale, n_field)."""
+        n_scale = n_field = -1
+        if self.median_gt_depth is not None:
+            scale_ok = (z_cur > 0.25 * self.median_gt_depth) \
+                & (z_cur < 4.0 * self.median_gt_depth)
+            if field_depth_fn is not None:
+                zf = np.asarray(field_depth_fn(uv_cur))
+                field_ok = (zf > 1e-3) & (z_cur > 1e-3) \
+                    & (np.abs(z_cur - zf)
+                       <= np.maximum(0.15 * zf,
+                                     0.02 * self.median_gt_depth))
+                n_field = int((accept & field_ok).sum())
+                accept = accept & (scale_ok | field_ok)
+            else:
+                accept = accept & scale_ok
+            n_scale = int((accept & scale_ok).sum())
+        return accept, n_scale, n_field
+
+    def track_continuous(self, frame_reader, idx: int,
+                         estimate_c2w_list: np.ndarray,
+                         field_depth_fn=None):
+        """Continuous tracked frame: full two-view solve against the last
+        tracked frame — E-matrix RANSAC pose, triangulation, field-anchored
+        baseline scale, quality gates, pseudo-depth splat, map bookkeeping.
+
+        This is the reference's INTENDED continuous behavior: its design
+        note (src/Tracker.py:825-834) specifies 'per tracked frame:
+        track-solve the pose and pseudo-depth, then refine in the NeRF',
+        but the shipped loop never reassigns f_cur past the bootstrap (the
+        author's comment at :888-890 marks the branch unfinished), so it
+        NeRF-refines from the bootstrap pose against the bootstrap's
+        pseudo-depth forever. We implement the stated design: the returned
+        pose initializes the NeRF tracker and the pseudo-depth supervises
+        it — eliminating the drift of tracking against stale supervision.
+
+        Returns (est_c2w_nerf (4,4) | None, pseudo_depth | None).
+        """
+        if self.prev is None:
+            return None, None
+        feats_cur = self._feat_cache.pop(idx, None)
+        if feats_cur is None:
+            _, color_cur, _, _ = frame_reader[idx]
+            feats_cur = self._extract(color_cur)
+        ref_idx = self.prev["frame_idx"]
+        feats_ref = self.prev["feats"]
+        Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
+        try:
+            Tcw_cur_cv, uv_cur, uv_ref, z_cur, z_ref, accept, stats = \
+                self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
+                               set_scale=False,
+                               scale_fn=self._field_scale_fn(field_depth_fn))
+        except RuntimeError:
+            self.prev = {"frame_idx": idx, "feats": feats_cur}
+            return None, None
+        accept, n_scale, n_field = self._quality_gates(
+            accept, z_cur, uv_cur, field_depth_fn)
+        self.telemetry.append({
+            "idx": idx, "n_matches": stats["n_matches"],
+            "n_inliers": stats["n_inliers"], "n_cand": stats["n_accept"],
+            "n_scale_ok": n_scale, "n_field_ok": n_field,
+            "n_accept": int(accept.sum()), "scale": stats["scale"]})
+        self.last_debug = {"ref_idx": ref_idx, "cur_idx": idx,
+                           "kps_ref": np.asarray(uv_ref),
+                           "kps_cur": np.asarray(uv_cur),
+                           "accept": np.asarray(accept)}
+        est_c2w = cv_w2c_to_nerf_c2w(Tcw_cur_cv) \
+            if stats["n_inliers"] >= 8 else None
+
+        if self.map is not None:
+            kpn_cur = self._kpn(feats_cur[0])
+            kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(
+                feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv)
+            kf_cur = self._kf_for(idx, np.asarray(kpn_cur), feats_cur[1],
+                                  feats_cur[2], Tcw_cur_cv)
+            # world points for the map: reproject accepted uv/z through the
+            # scaled current pose
+            Twc = np.linalg.inv(np.asarray(Tcw_cur_cv))
+            xn = (uv_cur - [self.cx, self.cy]) / [self.fx, self.fy]
+            cam_pts = np.concatenate([xn * z_cur[:, None], z_cur[:, None]],
+                                     1)
+            pts3d_w = cam_pts @ Twc[:3, :3].T + Twc[:3, 3]
+            idx2, mvalid, _ = match_two_way(
+                feats_cur[1], feats_cur[2], feats_ref[1], feats_ref[2],
+                self.nn_thresh)
+            uv_m, z_m, acc_m = self._map_update(
+                idx, kf_cur, kf_ref, np.asarray(idx2), pts3d_w, accept,
+                np.asarray(Tcw_cur_cv))
+            uv_all = np.concatenate([uv_cur, uv_m], axis=0)
+            z_all = np.concatenate([z_cur, z_m], axis=0)
+            acc_all = np.concatenate([accept, acc_m], axis=0)
+        else:
+            uv_all, z_all, acc_all = uv_cur, z_cur, accept
+
+        self.prev = {"frame_idx": idx, "feats": feats_cur}
+        pseudo = self._splat(uv_all, z_all, acc_all) \
+            if int(acc_all.sum()) >= 8 else None
+        return est_c2w, pseudo
+
     def pseudo_depth_for(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,
-                         cur_c2w_pred: np.ndarray):
+                         cur_c2w_pred: np.ndarray,
+                         field_depth_fn=None):
         """Continuous mode: triangulate the current frame against the
         previous tracked frame using KNOWN pose estimates (the refined
         previous pose + the motion-model prediction for the current frame).
@@ -358,11 +522,22 @@ class SparseFrontend:
         flow), whereas pose estimates from the NeRF tracker are already
     accurate — triangulating with them is strictly better-conditioned.
         The bootstrap (no prior poses, larger baseline) keeps E (PARITY.md
-        #2/#12). Returns pseudo_depth or None."""
+        #2/#12). Returns pseudo_depth or None.
+
+        field_depth_fn: optional callback (uv_px (N, 2) -> rendered field
+        depth (N,)) used as a RECOVERY gate: the scene-scale z gate
+        (PARITY #20) rejects everything at tiny baselines, starving the
+        mapper of per-frame depth supervision (the reference intends
+        pseudo-depth for every tracked frame, src/Tracker.py:571-610);
+        a triangulation that agrees with the current neural field's
+        rendered depth at its pixel is scene-consistent even when the
+        scale gate cannot vouch for it, so it is accepted too."""
         if self.prev is None:
             return None
-        _, color_cur, _, _ = frame_reader[idx]
-        feats_cur = self._extract(color_cur)
+        feats_cur = self._feat_cache.pop(idx, None)
+        if feats_cur is None:
+            _, color_cur, _, _ = frame_reader[idx]
+            feats_cur = self._extract(color_cur)
         ref_idx = self.prev["frame_idx"]
         kps_r, desc_r, val_r = self.prev["feats"]
         kpn_ref_full = self._kpn(kps_r)
@@ -408,16 +583,48 @@ class SparseFrontend:
         # tiny reprojection error — every classical gate passes). The
         # bootstrap anchored the metric scale, so depths far outside the
         # scene's depth range are geometrically impossible, not data.
+        uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
+        n_cand = int(np.asarray(accept).sum())
+        n_scale = n_field = -1
         if self.median_gt_depth is not None:
             zc = np.asarray(z_cur)
-            accept = accept & (zc > 0.25 * self.median_gt_depth) \
+            scale_ok = (zc > 0.25 * self.median_gt_depth) \
                 & (zc < 4.0 * self.median_gt_depth)
+            if field_depth_fn is not None:
+                # field-consistency recovery gate: render the CURRENT
+                # field's depth at each candidate pixel; a triangulation
+                # within 15% of it is consistent with the map the mapper
+                # already believes — safe supervision even where the
+                # conservative scale window cannot confirm it. Because the
+                # field check is itself a strong filter, it draws from a
+                # WIDER reprojection-gate candidate pool than the classical
+                # path (pose drift between the pair inflates reprojection
+                # error even for correct structure).
+                acc_w, _, _, _, _ = point_checks(
+                    pts3d, jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv),
+                    kpn_cur, kpn_ref, self.fx, max_reproj_px=25.0)
+                cand_wide = np.asarray(acc_w & mvalid & ok)
+                zf = np.asarray(field_depth_fn(uv_cur))
+                field_ok = (zf > 1e-3) & (zc > 1e-3) \
+                    & (np.abs(zc - zf)
+                       <= np.maximum(0.15 * zf,
+                                     0.02 * self.median_gt_depth))
+                n_field = int((cand_wide & field_ok).sum())
+                accept = (accept & scale_ok) | (cand_wide & field_ok)
+            else:
+                accept = accept & scale_ok
+            n_scale = int((np.asarray(accept) & scale_ok).sum())
         self.telemetry.append({
             "idx": idx, "n_matches": int(np.asarray(mvalid).sum()),
-            "n_inliers": -1, "n_accept": int(accept.sum()),
+            "n_inliers": -1, "n_cand": n_cand, "n_scale_ok": n_scale,
+            "n_field_ok": n_field, "n_accept": int(accept.sum()),
             "scale": float(self.depth_scale or 1.0)})
+        uv_ref_px = np.asarray(uvn_ref) * [self.fx, self.fy] \
+            + [self.cx, self.cy]
+        self.last_debug = {"ref_idx": ref_idx, "cur_idx": idx,
+                           "kps_ref": uv_ref_px, "kps_cur": np.array(uv_cur),
+                           "accept": np.array(accept)}
         self.prev = {"frame_idx": idx, "feats": feats_cur}
-        uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
         z_cur = np.asarray(z_cur)
         if self.map is not None:
             # the map hook runs BEFORE the sparsity early-exit: even a pair

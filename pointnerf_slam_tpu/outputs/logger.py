@@ -155,4 +155,9 @@ def attach_outputs(slam):
     slam.tracking_visualizer = Visualizer(
         cfg["tracking"]["vis_freq"],
         os.path.join(slam.output, "tracking_vis"), slam.verbose)
+    if slam.frontend is not None:
+        from .draw import MatchVisualizer
+        slam.match_visualizer = MatchVisualizer(
+            cfg["tracking"]["vis_freq"],
+            os.path.join(slam.output, "matches_vis"), slam.verbose)
     return slam

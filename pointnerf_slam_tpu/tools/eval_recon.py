@@ -14,6 +14,7 @@ mean L1 (cm).
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -102,60 +103,139 @@ def calc_3d_metric(rec_ply: str, gt_ply: str, n_samples: int = 200000,
     }
 
 
+def _normalize(x):
+    return x / max(np.linalg.norm(x), 1e-12)
+
+
+def _viewmatrix(z, up, pos):
+    """Reference viewmatrix (eval_recon.py:15-21): camera z axis points at
+    the target (CV convention), columns [x, y, z, pos]."""
+    vec2 = _normalize(z)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    m = np.eye(4)
+    m[:3, :4] = np.stack([vec0, vec1, vec2, pos], 1)
+    return m
+
+
+def oriented_bounds(verts: np.ndarray):
+    """PCA oriented bounding box: (extents (3,), to_origin (4,4)) such that
+    `verts @ to_origin` is centered, axis-aligned (replaces
+    trimesh.bounds.oriented_bounds, reference eval_recon.py:120-127)."""
+    c = verts.mean(0)
+    sub = verts[:: max(len(verts) // 50000, 1)] - c
+    _, _, Vt = np.linalg.svd(sub, full_matrices=False)
+    proj = (verts - c) @ Vt.T
+    lo, hi = proj.min(0), proj.max(0)
+    extents = hi - lo
+    center = c + Vt.T @ ((lo + hi) / 2)
+    to_origin = np.eye(4)
+    to_origin[:3, :3] = Vt
+    to_origin[:3, 3] = -Vt @ center
+    return extents, to_origin
+
+
+def check_proj(points: np.ndarray, W, H, fx, fy, cx, cy, c2w) -> bool:
+    """True if ANY point projects inside the camera view (exact port of
+    reference check_proj, eval_recon.py:63-90: OpenGL->CV axis flips, -x
+    camera flip, z<0 front test)."""
+    if len(points) == 0:
+        return False
+    c2w = c2w.copy()
+    c2w[:3, 1] *= -1.0
+    c2w[:3, 2] *= -1.0
+    w2c = np.linalg.inv(c2w)
+    pc = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[:, 2] + 1e-5
+    u = (fx * (-pc[:, 0]) + cx * z) / z
+    v = (fy * pc[:, 1] + cy * z) / z
+    mask = (z <= 0) & (u > 0) & (u < W) & (v > 0) & (v < H)
+    return bool(mask.sum() > 0)
+
+
 def calc_2d_metric(rec_ply: str, gt_ply: str, n_imgs: int = 1000,
-                   H: int = 480, W: int = 640, fx: float = 300.0,
-                   seed: int = 0):
+                   H: int = 500, W: int = 500, fx: float = 300.0,
+                   seed: int = 0, unseen_pc=None, align: bool = False,
+                   reject_unseen: bool = True):
     """Depth-L1 (cm) over random in-room views rendered by the native BVH
-    ray-caster (reference eval_recon.py:131-210)."""
+    ray-caster (reference eval_recon.py:131-210).
+
+    View-sampling parity with the reference: camera origins are drawn
+    inside the gt mesh's shrunken oriented bounding box
+    ([0.3, 0.7, 0.7] x extents, +0.4 world-z lift, :119-127), targets
+    uniform in [-10000, 10000]^3, up = (0, 0, -1); a view is REDRAWN while
+    any point of the unseen-gt-region point cloud projects into it
+    (check_proj, :158-175). The unseen cloud is `{gt}_pc_unseen.npy` beside
+    the gt mesh (the reference downloads it; our cull_mesh --save_unseen_pc
+    produces it). Without one, views seeing > 10% gt-empty pixels are
+    redrawn instead (documented deviation). `reject_unseen=False` disables
+    the rejection loop so its metric effect can be measured."""
     from .raycast import MeshRaycaster
 
     rv, rt, _ = read_ply(rec_ply)
     gv, gt_t, _ = read_ply(gt_ply)
+    if align:
+        T = icp_align(sample_mesh_surface(rv, rt, 50000),
+                      sample_mesh_surface(gv, gt_t, 50000))
+        rv = rv @ T[:3, :3].T + T[:3, 3]
     rc_rec = MeshRaycaster(rv, rt)
     rc_gt = MeshRaycaster(gv, gt_t)
 
+    if unseen_pc is None:
+        auto = gt_ply.replace(".ply", "_pc_unseen.npy")
+        unseen_pc = auto if os.path.exists(auto) else None
+    if isinstance(unseen_pc, str):
+        unseen_pc = np.load(unseen_pc)
+    if not reject_unseen:
+        unseen_pc = None
+
+    fy = fx
+    cx, cy = W / 2.0 - 0.5, H / 2.0 - 0.5
+    extents, to_origin = oriented_bounds(gv)
+    extents = extents * np.array([0.3, 0.7, 0.7])
+    transform = np.linalg.inv(to_origin)
+    transform[2, 3] += 0.4
+    up = np.array([0.0, 0.0, -1.0])
+
     rng = np.random.default_rng(seed)
-    lo = gv.min(0)
-    hi = gv.max(0)
     errs = []
     tries = 0
-    while len(errs) < n_imgs and tries < n_imgs * 5:
+    while len(errs) < n_imgs and tries < n_imgs * 20:
         tries += 1
-        eye = rng.uniform(lo + 0.2 * (hi - lo), hi - 0.2 * (hi - lo))
-        target = rng.uniform(lo, hi)
-        up = np.array([0.0, 0.0, 1.0])
-        d_gt = _render_depth(rc_gt, eye, target, up, H, W, fx)
-        # resample views that see unobserved gt regions (reference :188-196)
-        if (d_gt <= 0).mean() > 0.1:
+        origin_box = rng.uniform(-extents / 2, extents / 2)
+        origin = transform[:3, :3] @ origin_box + transform[:3, 3]
+        target = rng.uniform(-10000, 10000, 3) - origin
+        c2w = _viewmatrix(target, up, origin)
+        if unseen_pc is not None:
+            if check_proj(unseen_pc, W, H, fx, fy, cx, cy, c2w):
+                continue  # unseen gt region visible -> redraw the view
+        d_gt = _render_depth_c2w(rc_gt, c2w, H, W, fx, cx, cy)
+        if unseen_pc is None and (d_gt <= 0).mean() > 0.1:
             continue
-        d_rec = _render_depth(rc_rec, eye, target, up, H, W, fx)
-        m = (d_gt > 0)
-        errs.append(np.abs(d_gt[m] - np.where(d_rec[m] > 0, d_rec[m],
-                                              d_gt[m].max())).mean())
+        d_rec = _render_depth_c2w(rc_rec, c2w, H, W, fx, cx, cy)
+        # reference: unmasked mean |gt - ours| (missed rays render as 0 in
+        # the Open3D depth buffer and here alike), eval_recon.py:205
+        errs.append(np.abs(d_gt - d_rec).mean())
     return {"depth l1": float(np.mean(errs)) * 100 if errs else float("nan"),
             "n_views": len(errs)}
 
 
-def _render_depth(rc, eye, target, up, H, W, fx):
-    fwd = target - eye
-    n = np.linalg.norm(fwd)
-    if n < 1e-9:
-        fwd = np.array([1.0, 0, 0])
-    else:
-        fwd = fwd / n
-    right = np.cross(fwd, up)
-    right /= max(np.linalg.norm(right), 1e-9)
-    upv = np.cross(right, fwd)
+def _render_depth_c2w(rc, c2w, H, W, fx, cx, cy, z_far: float = 20.0):
+    """Depth map under a CV-convention (+z forward) camera pose; missed
+    rays and hits beyond z_far render 0 (the Open3D depth-buffer semantics
+    the reference uses, with its set_constant_z_far(20))."""
+    X, Y, Z = c2w[:3, 0], c2w[:3, 1], c2w[:3, 2]
+    eye = c2w[:3, 3]
     j, i = np.mgrid[0:H, 0:W]
-    cx, cy = (W - 1) / 2, (H - 1) / 2
-    dirs = ((i - cx)[..., None] * right + (j - cy)[..., None] * -upv
-            + fx * fwd).reshape(-1, 3)
+    dirs = ((i - cx)[..., None] * X + (j - cy)[..., None] * Y
+            + fx * Z).reshape(-1, 3)
     t = rc.cast(np.broadcast_to(eye, dirs.shape).astype(np.float32),
                 dirs.astype(np.float32))
-    # hit = o + t * dir with dir . fwd == fx  ->  z-depth = t * fx
+    # hit = o + t * dir with dir . Z == fx  ->  z-depth = t * fx
     z = t * fx
     z[~np.isfinite(z)] = 0
     z[t < 0] = 0
+    z[z > z_far] = 0
     return z.reshape(H, W)
 
 
@@ -165,11 +245,20 @@ def main():
     p.add_argument("--gt_mesh", required=True)
     p.add_argument("-3d", "--metric_3d", action="store_true")
     p.add_argument("-2d", "--metric_2d", action="store_true")
+    p.add_argument("--n_imgs", type=int, default=1000)
+    p.add_argument("--unseen_pc", type=str, default=None,
+                   help="unseen-gt-region point cloud (.npy); default "
+                        "{gt_mesh%.ply}_pc_unseen.npy if present")
+    p.add_argument("--no_reject_unseen", action="store_true",
+                   help="disable the unseen-region view-rejection loop "
+                        "(to measure its effect on depth-L1)")
     args = p.parse_args()
     if args.metric_3d:
         print(calc_3d_metric(args.rec_mesh, args.gt_mesh))
     if args.metric_2d:
-        print(calc_2d_metric(args.rec_mesh, args.gt_mesh))
+        print(calc_2d_metric(args.rec_mesh, args.gt_mesh,
+                             n_imgs=args.n_imgs, unseen_pc=args.unseen_pc,
+                             reject_unseen=not args.no_reject_unseen))
 
 
 if __name__ == "__main__":

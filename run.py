@@ -118,6 +118,7 @@ def main():
     if args.no_final_refine:
         cfg["mapping"]["color_refine"] = False
         cfg["meshing"]["eval_rec"] = False
+        cfg["meshing"]["final_mesh"] = False  # chunk end != sequence end
     slam = PointNeRFSLAM(cfg, args, n_frames_cap=args.n_frames)
 
     from pointnerf_slam_tpu.outputs import attach_outputs

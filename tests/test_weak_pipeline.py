@@ -26,8 +26,8 @@ def weak_cfg():
 
 class TestWeakPipeline:
     def test_full_weak_run(self):
-        slam = PointNeRFSLAM(weak_cfg())
-        est, gt = slam.run()
+        from tests.weak_runs import weak_run
+        slam, est, gt = weak_run(True)
 
         # bootstrap must have produced pseudo-depth for frames 0 and 5
         assert 0 in slam.pseudo_depths and 5 in slam.pseudo_depths
