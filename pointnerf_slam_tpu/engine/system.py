@@ -587,38 +587,6 @@ class PointNeRFSLAM:
                   f"{err_t:.2f} rotation error: {err_r:.2f}")
         self.timings["frontend"] += time.time() - t0
 
-    def _field_depth_at(self, idx):
-        """Callback for the frontend's field-consistency gate: render the
-        CURRENT neural field's depth at sparse pixel coords under frame
-        idx's pose estimate (one jitted sparse-ray render per tracked
-        frame; static shape = the extractor's keypoint budget)."""
-        if getattr(self, "_field_depth_jit", None) is None:
-            from ..core.rays import rays_from_uv
-            from ..render.renderer import render_rays
-            model_cfg, rcfg = self.model_cfg, self.rcfg
-            fx, fy, cx, cy = self.fx, self.fy, self.cx, self.cy
-
-            @jax.jit
-            def f(params, c_grid, cam7, uv, bound, key):
-                c2w = to_homogeneous(camera_from_tensor(cam7))
-                rays_o, rays_d = rays_from_uv(uv[:, 0], uv[:, 1], c2w,
-                                              fx, fy, cx, cy)
-                depth, _, _, _ = render_rays(
-                    params, model_cfg, rcfg, rays_o, rays_d, bound, key,
-                    None, c_grid or None)
-                return depth
-
-            self._field_depth_jit = f
-
-        def fn(uv_px: np.ndarray) -> np.ndarray:
-            cam7 = jnp.asarray(self._cam7(self.estimate_c2w_list[idx]))
-            return np.asarray(self._field_depth_jit(
-                self.params, self.c_grid, cam7,
-                jnp.asarray(uv_px, jnp.float32), self.bound,
-                self._next_key()))
-
-        return fn
-
     def _frontend_frame(self, idx, color):
         """Per-tracked-frame front-end pass (intended continuous behavior
         of the weak pipeline; PARITY.md #2): two-view E-matrix pose +
@@ -639,10 +607,15 @@ class PointNeRFSLAM:
             self.estimate_c2w_list[idx] = pre @ np.linalg.inv(prepre) @ pre
         else:
             self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
+        field_ctx = None
+        if self.mapping_first_frame_done:
+            field_ctx = dict(
+                params=self.params, c_grid=self.c_grid,
+                c2w_pred=self.estimate_c2w_list[idx], bound=self.bound,
+                model_cfg=self.model_cfg, rcfg=self.rcfg)
         est_c2w, pseudo = self.frontend.track_continuous(
             self.frame_reader, idx, self.estimate_c2w_list,
-            field_depth_fn=(self._field_depth_at(idx)
-                            if self.mapping_first_frame_done else None))
+            field_ctx=field_ctx)
         if est_c2w is not None:
             self._pose_init_override = est_c2w
         if pseudo is not None:

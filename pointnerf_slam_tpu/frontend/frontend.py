@@ -53,12 +53,24 @@ def compute_pose_error(T_rel_est: np.ndarray, T_rel_gt: np.ndarray):
     return float(err_t), float(err_r)
 
 
+def _inv_rigid_np(T: np.ndarray) -> np.ndarray:
+    """Invert a (4, 4) rigid transform on the host (no device dispatch —
+    this glue runs per tracked frame and each eager jax op costs a ~34 ms
+    tunnel round trip)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ t
+    return out
+
+
 def nerf_c2w_to_cv_w2c(c2w_nerf: np.ndarray) -> np.ndarray:
-    return _F4 @ np.asarray(inv_T(jnp.asarray(c2w_nerf, jnp.float32)))
+    return _F4 @ _inv_rigid_np(np.asarray(c2w_nerf, np.float64))
 
 
 def cv_w2c_to_nerf_c2w(Tcw_cv: np.ndarray) -> np.ndarray:
-    return np.asarray(inv_T(jnp.asarray(_F4 @ Tcw_cv, jnp.float32)))
+    return _inv_rigid_np(_F4 @ np.asarray(Tcw_cv, np.float64))
 
 
 class SparseFrontend:
@@ -101,6 +113,7 @@ class SparseFrontend:
         self._kf_order = []
         self._feat_cache = {}   # frame_idx -> prefetched features (P1)
         self.last_debug = None  # latest two-view match record (draw.py)
+        self._runners = {}      # mode -> fused_twoview.TwoViewRunner
 
     def _default_extractor(self, cfg, H, W):
         """Weak-mode default: the SuperPoint CNN (the reference's flagship
@@ -151,85 +164,46 @@ class SparseFrontend:
         self._feat_cache[idx] = self._extract(color)
 
     # -- core two-view procedure -------------------------------------------
+    def _runner_for(self, mode: str, field_ctx=None):
+        """Compiled fused two-view step for a mode (fused_twoview): the
+        whole match->RANSAC->triangulate->gate->LM chain is ONE device
+        dispatch (host-issued op chains cost ~34 ms per dispatch over the
+        axon tunnel and made the front-end the weak-mode bottleneck)."""
+        if mode not in self._runners:
+            from .fused_twoview import TwoViewRunner
+            self._runners[mode] = TwoViewRunner(
+                self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+                self.nn_thresh, self.ransac_thresh,
+                model_cfg=field_ctx.get("model_cfg") if field_ctx else None,
+                rcfg=field_ctx.get("rcfg") if field_ctx else None,
+                bundle_loss=self.bundle_loss)
+        return self._runners[mode]
+
     def _two_view(self, feats_ref, feats_cur, Tcw_ref_cv: np.ndarray,
-                  set_scale: bool, scale_fn=None):
-        """Returns (Tcw_cur_cv, uv/z for both frames, accept mask, stats).
-
-        scale_fn: optional (uv_cur_px, z_cur_unit, accept) -> s override for
-        the baseline scale — continuous pairs have a different physical
-        baseline than the bootstrap pair, so the bootstrap's depth_scale
-        does not transfer; the field-anchored scale (median rendered depth /
-        median unit-baseline depth) does."""
-        kps_r, desc_r, val_r = feats_ref
-        kps_c, desc_c, val_c = feats_cur
-
-        idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
-                                        self.nn_thresh)
-        kpn_cur = self._kpn(kps_c)
-        kpn_ref = self._kpn(kps_r)[idx2]
-
-        Trc, inliers, n_inl = estimate_relative_pose_ransac(
-            kpn_ref, kpn_cur, mvalid, self._next_key(),
-            thresh=self.ransac_thresh)
-        Trc = np.asarray(Trc)
-        Tcr = np.asarray(inv_T(jnp.asarray(Trc)))
-        Tcw_cur_cv = Tcr @ Tcw_ref_cv  # unit-baseline pose (Tracker.py:478)
-
-        pts3d, ok = triangulate_points(
-            jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv), kpn_cur,
-            kpn_ref)
-        accept, z_cur, z_ref, uvn_cur, uvn_ref = point_checks(
-            pts3d, jnp.asarray(Tcw_cur_cv), jnp.asarray(Tcw_ref_cv),
-            kpn_cur, kpn_ref, self.fx)
-        accept = accept & inliers & ok
-
-        z_cur_np = np.asarray(z_cur)
-        acc_np = np.asarray(accept)
+                  set_scale: bool, field_ctx=None):
+        """One fused-device two-view solve; returns the result dict of
+        fused_twoview.TwoViewRunner.run. set_scale (bootstrap) anchors
+        depth_scale to the gt median depth; otherwise the field-anchored
+        scale is used when field_ctx is given, the carried depth_scale when
+        not."""
+        mode = "bootstrap" if set_scale else (
+            "field" if field_ctx is not None else "continuous")
+        kw = {}
+        if mode == "field":
+            kw = dict(params=field_ctx["params"],
+                      c_grid=field_ctx.get("c_grid") or {},
+                      c2w_pred=field_ctx["c2w_pred"],
+                      bound=field_ctx["bound"])
+        r = self._runner_for(mode, field_ctx).run(
+            mode, feats_ref, feats_cur, Tcw_ref_cv, self._next_key(),
+            self.median_gt_depth, self.depth_scale, **kw)
         if set_scale:
-            if acc_np.sum() < 8:
+            if r["n_cand"] < 8:
                 raise RuntimeError(
-                    f"frontend bootstrap: only {acc_np.sum()} accepted "
+                    f"frontend bootstrap: only {r['n_cand']} accepted "
                     f"triangulations")
-            median_depth = float(np.median(z_cur_np[acc_np]))
-            self.depth_scale = self.median_gt_depth / median_depth
-        s = self.depth_scale
-        if scale_fn is not None and acc_np.sum() >= 4:
-            uv_px = np.asarray(uvn_cur) * [self.fx, self.fy] \
-                + [self.cx, self.cy]
-            s_new = scale_fn(uv_px, z_cur_np, acc_np)
-            if s_new is not None and np.isfinite(s_new) and s_new > 0:
-                s = float(s_new)
-
-        # scale baseline + structure about the ref camera center
-        C_ref = -Tcw_ref_cv[:3, :3].T @ Tcw_ref_cv[:3, 3]
-        C_cur = -Tcw_cur_cv[:3, :3].T @ Tcw_cur_cv[:3, 3]
-        C_cur_s = C_ref + s * (C_cur - C_ref)
-        Tcw_cur_cv = Tcw_cur_cv.copy()
-        Tcw_cur_cv[:3, 3] = -Tcw_cur_cv[:3, :3] @ C_cur_s
-
-        if self.bundle_loss and acc_np.sum() >= 8:
-            # motion-only LM against the (scaled) triangulated points
-            from ..core.se3 import camera_from_tensor, tensor_from_camera, \
-                to_homogeneous
-            from .ba import pose_optimization
-            pts_scaled = C_ref + s * (np.asarray(pts3d) - C_ref)
-            cam0 = tensor_from_camera(jnp.asarray(Tcw_cur_cv, jnp.float32))
-            sigma2 = (1.0 / self.fx) ** 2
-            cam, inl, n_in = pose_optimization(
-                cam0, jnp.asarray(pts_scaled, jnp.float32), kpn_cur,
-                jnp.asarray(acc_np), sigma2=sigma2)
-            if int(n_in) >= 8:
-                Tcw_cur_cv = np.asarray(to_homogeneous(
-                    camera_from_tensor(cam)))
-
-        # depths scale linearly with the baseline; projections unchanged
-        uv_cur = np.asarray(uvn_cur) * [self.fx, self.fy] + [self.cx, self.cy]
-        uv_ref = np.asarray(uvn_ref) * [self.fx, self.fy] + [self.cx, self.cy]
-        stats = {"n_matches": int(np.asarray(mvalid).sum()),
-                 "n_inliers": int(n_inl), "n_accept": int(acc_np.sum()),
-                 "scale": float(s)}
-        return (Tcw_cur_cv, uv_cur, uv_ref, s * z_cur_np,
-                s * np.asarray(z_ref), acc_np, stats)
+            self.depth_scale = r["scale"]
+        return r
 
     def _splat(self, uv, z, accept):
         return splat_pseudo_depth(
@@ -346,9 +320,14 @@ class SparseFrontend:
         feats_cur = self._extract(color_cur)
         Tcw_ref_cv = nerf_c2w_to_cv_w2c(ref_c2w_nerf)
 
-        Tcw_cur_cv, uv_cur, uv_ref, z_cur, z_ref, accept, stats = \
-            self._two_view(feats_ref, feats_cur, Tcw_ref_cv, set_scale=True)
-        self.telemetry.append({"idx": cur_idx, **stats})
+        r = self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
+                           set_scale=True)
+        Tcw_cur_cv, uv_cur, uv_ref = r["Tcw_cur"], r["uv_cur"], r["uv_ref"]
+        z_cur, z_ref, accept = r["z_cur"], r["z_ref"], r["accept"]
+        self.telemetry.append({
+            "idx": cur_idx, "n_matches": r["n_matches"],
+            "n_inliers": r["n_inliers"], "n_accept": r["n_accept"],
+            "scale": r["scale"]})
 
         pseudo_ref = self._splat(uv_ref, z_ref, accept)
         pseudo_cur = self._splat(uv_cur, z_cur, accept)
@@ -393,45 +372,9 @@ class SparseFrontend:
                             Tcw_c)
         self._map_update(idx_c, kf_c, kf_r, idx2, pts3d, accept, Tcw_c)
 
-    def _field_scale_fn(self, field_depth_fn):
-        """Baseline-scale anchor for continuous pairs: make the median
-        triangulated depth match the median depth the CURRENT field renders
-        at the same pixels."""
-        if field_depth_fn is None:
-            return None
-
-        def fn(uv_px, z_unit, acc):
-            zf = np.asarray(field_depth_fn(uv_px))
-            ok = acc & (zf > 1e-3) & (z_unit > 1e-6)
-            if ok.sum() < 4:
-                return None
-            return float(np.median(zf[ok]) / np.median(z_unit[ok]))
-
-        return fn
-
-    def _quality_gates(self, accept, z_cur, uv_cur, field_depth_fn):
-        """Scene-scale OR field-consistency acceptance (PARITY #20 + the
-        round-3 recovery gate). Returns (accept, n_scale, n_field)."""
-        n_scale = n_field = -1
-        if self.median_gt_depth is not None:
-            scale_ok = (z_cur > 0.25 * self.median_gt_depth) \
-                & (z_cur < 4.0 * self.median_gt_depth)
-            if field_depth_fn is not None:
-                zf = np.asarray(field_depth_fn(uv_cur))
-                field_ok = (zf > 1e-3) & (z_cur > 1e-3) \
-                    & (np.abs(z_cur - zf)
-                       <= np.maximum(0.15 * zf,
-                                     0.02 * self.median_gt_depth))
-                n_field = int((accept & field_ok).sum())
-                accept = accept & (scale_ok | field_ok)
-            else:
-                accept = accept & scale_ok
-            n_scale = int((accept & scale_ok).sum())
-        return accept, n_scale, n_field
-
     def track_continuous(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,
-                         field_depth_fn=None):
+                         field_ctx=None):
         """Continuous tracked frame: full two-view solve against the last
         tracked frame — E-matrix RANSAC pose, triangulation, field-anchored
         baseline scale, quality gates, pseudo-depth splat, map bookkeeping.
@@ -457,46 +400,35 @@ class SparseFrontend:
         ref_idx = self.prev["frame_idx"]
         feats_ref = self.prev["feats"]
         Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
-        try:
-            Tcw_cur_cv, uv_cur, uv_ref, z_cur, z_ref, accept, stats = \
-                self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
-                               set_scale=False,
-                               scale_fn=self._field_scale_fn(field_depth_fn))
-        except RuntimeError:
-            self.prev = {"frame_idx": idx, "feats": feats_cur}
-            return None, None
-        accept, n_scale, n_field = self._quality_gates(
-            accept, z_cur, uv_cur, field_depth_fn)
+        r = self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
+                           set_scale=False, field_ctx=field_ctx)
+        Tcw_cur_cv, uv_cur, uv_ref = r["Tcw_cur"], r["uv_cur"], r["uv_ref"]
+        z_cur, accept = r["z_cur"], r["accept"]
         self.telemetry.append({
-            "idx": idx, "n_matches": stats["n_matches"],
-            "n_inliers": stats["n_inliers"], "n_cand": stats["n_accept"],
-            "n_scale_ok": n_scale, "n_field_ok": n_field,
-            "n_accept": int(accept.sum()), "scale": stats["scale"]})
+            "idx": idx, "n_matches": r["n_matches"],
+            "n_inliers": r["n_inliers"], "n_cand": r["n_cand"],
+            "n_scale_ok": r["n_scale_ok"], "n_field_ok": r["n_field_ok"],
+            "n_accept": int(accept.sum()), "scale": r["scale"]})
         self.last_debug = {"ref_idx": ref_idx, "cur_idx": idx,
-                           "kps_ref": np.asarray(uv_ref),
-                           "kps_cur": np.asarray(uv_cur),
-                           "accept": np.asarray(accept)}
+                           "kps_ref": uv_ref, "kps_cur": uv_cur,
+                           "accept": accept}
         est_c2w = cv_w2c_to_nerf_c2w(Tcw_cur_cv) \
-            if stats["n_inliers"] >= 8 else None
+            if r["n_inliers"] >= 8 else None
 
         if self.map is not None:
-            kpn_cur = self._kpn(feats_cur[0])
             kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(
                 feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv)
-            kf_cur = self._kf_for(idx, np.asarray(kpn_cur), feats_cur[1],
-                                  feats_cur[2], Tcw_cur_cv)
+            kf_cur = self._kf_for(idx, np.asarray(self._kpn(feats_cur[0])),
+                                  feats_cur[1], feats_cur[2], Tcw_cur_cv)
             # world points for the map: reproject accepted uv/z through the
             # scaled current pose
-            Twc = np.linalg.inv(np.asarray(Tcw_cur_cv))
+            Twc = _inv_rigid_np(Tcw_cur_cv)
             xn = (uv_cur - [self.cx, self.cy]) / [self.fx, self.fy]
             cam_pts = np.concatenate([xn * z_cur[:, None], z_cur[:, None]],
                                      1)
             pts3d_w = cam_pts @ Twc[:3, :3].T + Twc[:3, 3]
-            idx2, mvalid, _ = match_two_way(
-                feats_cur[1], feats_cur[2], feats_ref[1], feats_ref[2],
-                self.nn_thresh)
             uv_m, z_m, acc_m = self._map_update(
-                idx, kf_cur, kf_ref, np.asarray(idx2), pts3d_w, accept,
+                idx, kf_cur, kf_ref, r["idx2"], pts3d_w, accept,
                 np.asarray(Tcw_cur_cv))
             uv_all = np.concatenate([uv_cur, uv_m], axis=0)
             z_all = np.concatenate([z_cur, z_m], axis=0)

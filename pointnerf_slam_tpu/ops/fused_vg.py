@@ -59,11 +59,18 @@ from .megakernel import (_bound_spec, _chunk_pts, _composite, _full_spec,
                          _sample_pdf_det, _unpack_rays, _weights, _z_pass1,
                          supports_megakernel)
 
-# The VG kernel uses a smaller ray tile than the two-kernel megakernel:
-# Mosaic's compile time scales with straight-line vector IR size (~points
-# per sweep), and the single-kernel body is the fwd+bwd superset — 128-ray
-# tiles compiled for tens of minutes, 64-ray tiles are tractable.
-TILE = 64
+# Perf-bisect hook (debug only, wrong numerics): _VG_ABLATE names a kernel
+# stage to skip so its cost can be measured by difference on real hardware.
+import os as _os
+
+_ABLATE = _os.environ.get("_VG_ABLATE", "")
+
+# 128-ray tiles: halves the per-tile fixed cost (plane relayouts, small
+# matmul pipeline fills) vs 64. Viable since round 3 freed the VMEM the
+# backward's concat temporaries used (unified scratch) and the resample
+# split moved the sort out, shrinking the kernel body Mosaic has to
+# compile (the pre-split 128-tile kernel took tens of minutes).
+TILE = 128
 
 # VMEM ceiling for the resident activations: (P2 + PR) * (4 + 128 + 4*256)
 # * 4B must fit beside the working set under the raised vmem limit.
@@ -98,15 +105,13 @@ def _mlp_fwd_full(x4, kp):
     return _dot(h, kp["Woutp"]) + kp["boutp"]
 
 
-def _mlp_fwd_store(x4, kp, es, hs, lo=0):
+def _mlp_fwd_store(x4, kp, es, hs):
     """Decoder forward that parks its activations in VMEM scratch (bf16 —
     see _vg_scratch) and returns the full 128-wide head (P, 128).
 
-    es <- sin embedding; hs[i] <- relu hidden i. `lo` stores only rows
-    [lo:, :] (used when the leading rows are a gradient-free segment
-    sharing the sweep)."""
+    es <- sin embedding; hs[i] <- relu hidden i."""
     def st(ref, v):
-        ref[:] = v[lo:].astype(jnp.bfloat16)
+        ref[:] = v.astype(jnp.bfloat16)
 
     emb = jnp.sin(_dot_f32(x4, kp["Bp"]))
     st(es, emb)
@@ -121,16 +126,34 @@ def _mlp_fwd_store(x4, kp, es, hs, lo=0):
     return _dot(h, kp["Woutp"]) + kp["boutp"]
 
 
-def _mlp_bwd_stored(x4, g, kp, acc, emb, hs, param_grads=True):
+def _lane_sel4():
+    """(4, 128) selection matrix: row k = one-hot at lane k."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _dot_small_f32(a, b):
+    """Tiny exact-f32 matmul (head-placement algebra; negligible FLOPs)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _mlp_bwd_stored(x4, pl4, kp, acc, emb, hs, param_grads=True):
     """Manual MLP backward over stored activations (NO recompute).
 
-    Takes the head cotangent g already 128-wide (the caller builds it in
-    plane space — see _head_cotangent) and returns demb (P, 128): the
-    caller extracts d(loss)/d(point) in plane space too, so no
-    lane<->sublane relayout ever happens (each costs ~hundreds of us in
-    Mosaic and dominated the first kernel version's runtime). emb/hs are
-    bf16 VALUES (possibly concatenated from several scratch blocks) — the
-    matmuls cast to bf16 at use anyway.
+    Takes the head cotangent as pl4 (P, 4) — the four REAL head columns
+    [d_r, d_g, d_b, d_sigma] in point space — and folds the 128-wide head
+    placement in algebraically: with E4 the (4, 128) lane-selection matrix,
+      dWout = (h3^T @ pl4) @ E4      dh = pl4 @ (E4 @ Wout^T) * relu'
+    This replaces the explicit (P, 128) head-gradient build (4 broadcast
+    one-hot passes over (T, S, 128), ~1.6 ms/iter on the VPU) AND two
+    (P,128)x(128,256)-class matmuls whose K dim was 97% padding.
+
+    Returns demb (P, 128); the caller reduces it to ray cotangents via
+    _dray_matmul. emb/hs are bf16 VALUES from scratch — the matmuls cast
+    to bf16 at use anyway.
 
     Only the embedding pre-activation is re-derived (one (P,4)@(4,128)
     matmul + cos — negligible next to the layer matmuls). Accumulates
@@ -140,11 +163,13 @@ def _mlp_bwd_stored(x4, g, kp, acc, emb, hs, param_grads=True):
     # bf16 comparisons don't lower on TPU; mask via f32 casts
     m0, m1, m2, m3 = [(h.astype(jnp.float32) > 0) for h in hs]
     h0, h1, h2, h3 = hs
+    E4 = _lane_sel4()
 
     if param_grads:
-        acc["Woutp"][:] += _dot_tn(h3, g)
-        acc["boutp"][:] += jnp.sum(g, axis=0, keepdims=True)
-    dh = _dot_nt(g, kp["Woutp"]) * m3
+        acc["Woutp"][:] += _dot_small_f32(_dot_tn(h3, pl4), E4)
+        acc["boutp"][:] += _dot_small_f32(
+            jnp.sum(pl4, axis=0, keepdims=True), E4)
+    dh = _dot(pl4, _dot_nt(E4, kp["Woutp"])) * m3
     if param_grads:
         acc["W3"][:] += _dot_tn(h2, dh)
         acc["b3"][:] += jnp.sum(dh, axis=0, keepdims=True)
@@ -189,17 +214,30 @@ def _lane_onehot(k):
 
 def _extract_plane(v3, k):
     """(T, S, 128) head view -> (T, S) plane of head column k."""
+    if _ABLATE == "noextract":          # debug: lane sum, no one-hot mult
+        return jnp.sum(v3, axis=2)
     return jnp.sum(v3 * _lane_onehot(k), axis=2)
 
 
-def _head_cotangent(grc, ggc, gbc, gsc, T, S):
-    """Cotangent planes -> (T*S, 128) head gradient: outer products into
-    the sublane-split view, then a lane-preserving collapse."""
-    g3 = (grc[..., None] * _lane_onehot(0)
-          + ggc[..., None] * _lane_onehot(1)
-          + gbc[..., None] * _lane_onehot(2)
-          + gsc[..., None] * _lane_onehot(3))
-    return g3.reshape(T * S, 128)
+def _lane4_onehot(k):
+    """(1, 1, 4) float one-hot along a 4-wide lane axis."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4), 2)
+            == k).astype(jnp.float32)
+
+
+def _pack_cotangent(grc, ggc, gbc, gsc, T, S):
+    """Cotangent planes (T, S) -> (T*S, 4) point-space head cotangent
+    [d_r, d_g, d_b, d_sigma]: one-hot broadcast into a (T, S, 4) view,
+    then the lane-preserving collapse to (P, 4). Same construction as the
+    old 128-wide head build but at 4 lanes (32x less data); Mosaic rejects
+    the direct (T,S)->(P,1) shape cast, so per-plane column extraction is
+    not an option. The 128-wide head placement happens inside
+    _mlp_bwd_stored as matmul algebra (see its docstring)."""
+    cot3 = (grc[..., None] * _lane4_onehot(0)
+            + ggc[..., None] * _lane4_onehot(1)
+            + gbc[..., None] * _lane4_onehot(2)
+            + gsc[..., None] * _lane4_onehot(3))           # (T, S, 4)
+    return cot3.reshape(T * S, 4)
 
 
 def _inside_plane(o3, d3, z, b6):
@@ -212,20 +250,30 @@ def _inside_plane(o3, d3, z, b6):
             & (pz > b6[4]) & (pz < b6[5])).astype(jnp.float32)
 
 
-def _dray_accum(demb, Bp, zc, carry, T, S):
-    """Accumulate ray-origin/direction cotangents from demb (P, 128):
-    dx_k = demb @ Bp[k] evaluated as lane-masked reductions over the
-    sublane-split view (no relayout)."""
-    demb3 = demb.reshape(T, S, 128)
-    dox, doy, doz, ddx, ddy, ddz = carry
-    s = lambda v: jnp.sum(v, axis=1, keepdims=True)
-    outs = []
-    for k in range(3):
-        bk = Bp[k:k + 1, :][None]                               # (1,1,128)
-        outs.append(jnp.sum(demb3 * bk, axis=2))                # (T, S)
-    dxx, dxy, dxz = outs
-    return (dox + s(dxx), doy + s(dxy), doz + s(dxz),
-            ddx + s(dxx * zc), ddy + s(dxy * zc), ddz + s(dxz * zc))
+def _dray_matmul(demb, zpt, Bp, T, S):
+    """Ray-origin/direction cotangents from demb (P, 128) as two tiny MXU
+    matmuls: do[t, k] = sum_{s,l} demb3[t,s,l] Bp[k,l], dd likewise with a
+    z weight. The earlier per-k lane-masked reductions (3 lane-axis
+    reductions of (T,S,128) per block) were, with the head-cotangent
+    build, ~3 ms/iter of the mapper's 12.2 — lane reductions are
+    log-shuffle chains on the VPU, while the sublane reductions here are
+    native and the (T,128)x(4,128)^T contractions ride the MXU.
+
+    zpt (P, 1) is the per-point z in point space — the same value the
+    forward's _chunk_pts materializes, so the relayout is CSE'd, not new.
+    f32 HIGHEST keeps camera-gradient parity with the XLA path (the pose
+    optimizer consumes these)."""
+    d3 = demb.reshape(T, S, 128)
+    M = jnp.sum(d3, axis=1)                                   # (T, 128)
+    Mz = jnp.sum((demb * zpt).reshape(T, S, 128), axis=1)     # (T, 128)
+
+    def dot_bp(a):
+        return jax.lax.dot_general(
+            a, Bp, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    return dot_bp(M), dot_bp(Mz)                              # (T, 4) x2
 
 
 def _make_p1_kernel(S1):
@@ -259,9 +307,13 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
         outv_ref, dray_ref = rest[nk], rest[nk + 1]
         acc = dict(zip(_KP_ORDER, rest[nk + 2:nk + 2 + nk]))
         scr = rest[nk + 2 + nk:]
-        x2s, e2s, h2s = scr[0], scr[1], list(scr[2:6])
-        if with_reg:
-            xrs, ers, hrs = scr[6], scr[7], list(scr[8:12])
+        # unified activation scratch: the importance block (rows
+        # [0, T*S2)) and regulation block (rows [T*S2, P)) share ONE
+        # buffer set, so ONE forward sweep covers both (bigger matmuls,
+        # half the op instances) and the backward reads the scratch
+        # directly instead of materializing (P, 256) concatenations
+        # (~13 MB of VMEM copies per tile in the split-scratch version).
+        xs, es, hs = scr[0], scr[1], list(scr[2:6])
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -279,19 +331,22 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
         # 2.1 ms/iter, in XLA it is noise — round-1 PERF)
         z2 = z2_ref[:]
 
-        # ---- forward: regulation sweep (activations stored) ----
+        # ---- forward: ONE merged sweep (importance block + regulation
+        #      block concatenated in point space, activations stored) ----
+        x2 = _chunk_pts(o, d, z2)
         if with_reg:
             zr = _reg_zvals(gtd, treg_ref[:])
             xr = _chunk_pts(o, d, zr)
-            xrs[:] = xr
-            rawr_3 = _mlp_fwd_store(xr, kp, ers, hrs).reshape(T, SR, 128)
+            xall = jnp.concatenate([x2, xr], axis=0)      # (P, 4): cheap
+        else:
+            xall = x2
+        xs[:] = xall
+        rawall = _mlp_fwd_store(xall, kp, es, hs)          # (P, 128)
+        raw2_3 = rawall[:T * S2].reshape(T, S2, 128)
+        if with_reg:
+            rawr_3 = rawall[T * S2:].reshape(T, SR, 128)
             insrf = _inside_plane(o, d, zr, b6)
             sigr = jnp.where(insrf > 0, _extract_plane(rawr_3, 3), 100.0)
-
-        # ---- forward sweep B: importance pass (activations stored) ----
-        x2 = _chunk_pts(o, d, z2)
-        x2s[:] = x2
-        raw2_3 = _mlp_fwd_store(x2, kp, e2s, h2s).reshape(T, S2, 128)
         ins2f = _inside_plane(o, d, z2, b6)
         r2 = _extract_plane(raw2_3, 0)
         g2 = _extract_plane(raw2_3, 1)
@@ -326,43 +381,59 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
             [loss_ray, depth, var, col, jnp.zeros((T, 2), jnp.float32)],
             axis=1)
 
-        # ---- backward: composite VJP (small (T, S) math, autodiffed) ----
-        def comp_fn(r_, g_, b_, sig, dvec):
-            dnorm = jnp.sqrt(jnp.sum(dvec * dvec, axis=1, keepdims=True)
-                             + 1e-24)
-            return _composite(r_, g_, b_, sig, z2, dnorm)
+        if _ABLATE == "nobwd":
+            dray_ref[:] = jnp.zeros((T, 8), jnp.float32)
+            return
 
-        _, comp_vjp = jax.vjp(comp_fn, r2, g2, b2, sig2, d)
-        gvar = jnp.zeros_like(var)   # never in the gradient (see docstring)
-        gr, gg, gb, gsig, gdvec = comp_vjp((gdep, gvar, gcol))
+        # ---- backward: composite VJP (small (T, S) math, autodiffed) ----
+        if _ABLATE == "nocompvjp":
+            gr = gg = gb = gsig = jnp.ones_like(r2)
+            gdvec = jnp.zeros_like(d)
+        else:
+            def comp_fn(r_, g_, b_, sig, dvec):
+                dnorm = jnp.sqrt(jnp.sum(dvec * dvec, axis=1,
+                                         keepdims=True) + 1e-24)
+                return _composite(r_, g_, b_, sig, z2, dnorm)
+
+            _, comp_vjp = jax.vjp(comp_fn, r2, g2, b2, sig2, d)
+            gvar = jnp.zeros_like(var)   # never in the gradient
+            gr, gg, gb, gsig, gdvec = comp_vjp((gdep, gvar, gcol))
 
         # ---- backward: ONE merged MLP sweep over stored activations
         #      (importance-pass block + regulation block concatenated in
         #      point space: one dh chain, one accumulator visit) ----
-        zc1 = jnp.zeros((T, 1), jnp.float32)
-        carry = (zc1, zc1, zc1,
-                 gdvec[:, 0:1], gdvec[:, 1:2], gdvec[:, 2:3])
-        gh_2 = _head_cotangent(gr, gg, gb, gsig * ins2f, T, S2)
+        plc_2 = _pack_cotangent(gr, gg, gb, gsig * ins2f, T, S2)
         if with_reg:
-            zplane = jnp.zeros((T, SR), jnp.float32)
-            gh_r = _head_cotangent(zplane, zplane, zplane, gsigr * insrf,
-                                   T, SR)
-            xcat = jnp.concatenate([x2s[:], xrs[:]], axis=0)
-            ghcat = jnp.concatenate([gh_2, gh_r], axis=0)
-            ecat = jnp.concatenate([e2s[:], ers[:]], axis=0)
-            hcat = [jnp.concatenate([a[:], b_[:]], axis=0)
-                    for a, b_ in zip(h2s, hrs)]
-            demb = _mlp_bwd_stored(xcat, ghcat, kp, acc, ecat, hcat,
-                                   param_grads)
-            carry = _dray_accum(demb[:T * S2], kp["Bp"], z2, carry, T, S2)
-            carry = _dray_accum(demb[T * S2:], kp["Bp"], zr, carry, T, SR)
+            zpl = jnp.zeros((T, SR), jnp.float32)
+            plc_r = _pack_cotangent(zpl, zpl, zpl, gsigr * insrf, T, SR)
+            plc = jnp.concatenate([plc_2, plc_r], axis=0)  # (P, 4)
         else:
-            demb = _mlp_bwd_stored(x2s[:], gh_2, kp, acc, e2s[:],
-                                   [h[:] for h in h2s], param_grads)
-            carry = _dray_accum(demb, kp["Bp"], z2, carry, T, S2)
+            plc = plc_2
+        if _ABLATE == "nomlpbwd":
+            demb = jnp.pad(plc, ((0, 0), (0, 124)))
+        else:
+            demb = _mlp_bwd_stored(xs[:], plc, kp, acc, es[:],
+                                   [h[:] for h in hs],
+                                   param_grads
+                                   and _ABLATE != "noparamgrads")
+        Tz = jnp.zeros((T, 4), jnp.float32)
+        Do, Dd = Tz, Tz
+        if _ABLATE != "nodray":
+            # (T,S) z -> (P,1) point-space z via the same lane-preserving
+            # (T,S,4) route (direct (T,S)->(P,1) casts don't lower)
+            ones4 = jnp.ones((1, 1, 4), jnp.float32)
+            zpt2 = (z2[..., None] * ones4).reshape(T * S2, 4)[:, 0:1]
+            Do, Dd = _dray_matmul(demb[:T * S2], zpt2, kp["Bp"], T, S2)
+            if with_reg:
+                zptr = (zr[..., None] * ones4).reshape(T * SR, 4)[:, 0:1]
+                Dor, Ddr = _dray_matmul(demb[T * S2:], zptr, kp["Bp"],
+                                        T, SR)
+                Do = Do + Dor
+                Dd = Dd + Ddr
 
         dray_ref[:] = jnp.concatenate(
-            list(carry) + [jnp.zeros((T, 2), jnp.float32)], axis=1)
+            [Do[:, :3], Dd[:, :3] + gdvec,
+             jnp.zeros((T, 2), jnp.float32)], axis=1)
 
     return kernel
 
@@ -371,16 +442,13 @@ def _vg_scratch(S1, SI, SR, with_reg):
     """Activation parking scratch: x4 stays f32 (feeds the HIGHEST-precision
     Bp gradient), sin-embedding and hidden layers store bf16 — the backward
     matmuls cast to bf16 at use anyway, so the rounding is free and the
-    scratch traffic halves."""
+    scratch traffic halves. ONE buffer set covers the importance block
+    (rows [0, T*S2)) and, for the mapper, the regulation block after it."""
     T = TILE
-    P2 = T * (S1 + SI)
-    PR = T * SR
+    P = T * (S1 + SI) + (T * SR if with_reg else 0)
     f = lambda shape: pltpu.VMEM(shape, jnp.float32)
     b = lambda shape: pltpu.VMEM(shape, jnp.bfloat16)
-    scr = [f((P2, 4)), b((P2, 128))] + [b((P2, 256)) for _ in range(4)]
-    if with_reg:
-        scr += [f((PR, 4)), b((PR, 128))] + [b((PR, 256)) for _ in range(4)]
-    return scr
+    return [f((P, 4)), b((P, 128))] + [b((P, 256)) for _ in range(4)]
 
 
 def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
@@ -467,7 +535,7 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
             # check is bypassed by the override).
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=44 * 1024 * 1024),
+                vmem_limit_bytes=62 * 1024 * 1024),
             interpret=_interpret(),
         )(pk, aux, tr, z2, b8, *[kp[k] for k in _KP_ORDER])
         outv, dray = outs[0], outs[1]
