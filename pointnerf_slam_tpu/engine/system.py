@@ -133,6 +133,11 @@ class PointNeRFSLAM:
         self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
         self.logger = None
         self.mesher = None
+        # per-phase loss traces for the offline curve writer
+        # (outputs/draw.py LossCurveWriter — the mplot_thread capability);
+        # device arrays are appended WITHOUT a host sync and only pulled at
+        # the writer's cadence
+        self.loss_log = {"mapping": [], "tracking": []}
         self.timings = {"tracking": 0.0, "mapping": 0.0, "frontend": 0.0,
                         "frames": 0}
 
@@ -382,6 +387,7 @@ class PointNeRFSLAM:
                         jnp.asarray(valid), jnp.asarray(ba_mask), self.bound,
                         self._next_key(), n_iters)
                 cams = cams_out
+                self.loss_log["mapping"].append((idx, losses))
                 if self.verbose:
                     print(f"Mapping frame {idx} outer {outer} [{stage}]: "
                           f"loss {float(losses[0]):.1f} -> "
@@ -427,6 +433,7 @@ class PointNeRFSLAM:
         best_cam, best_loss, first_loss = self.tracking_step(
             self.params, self.c_grid, cam0, jnp.asarray(color), depth_sup,
             self.bound, self._next_key())
+        self.loss_log["tracking"].append((idx, first_loss, best_loss))
         if (defer_commit and not self.verbose
                 and getattr(self, "tracking_visualizer", None) is None):
             self._pending_pose = (idx, best_cam)
@@ -652,6 +659,8 @@ class PointNeRFSLAM:
                                     self.estimate_c2w_list[idx])
             if getattr(self, "match_visualizer", None) is not None:
                 self.match_visualizer.vis(self, idx)
+            for v in getattr(self, "aux_visualizers", ()):
+                v.vis(self, idx)
         if self.mesher is not None:
             # a chunked attempt (--n_frames) can end with a mesh job
             # mid-flight; finish it so no periodic mesh is lost

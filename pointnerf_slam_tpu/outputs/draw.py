@@ -174,3 +174,91 @@ class MatchVisualizer:
         if self.verbose:
             print(f"MatchVisualizer: wrote {path} ({int(acc.sum())} "
                   f"matches)")
+
+
+class TrajectoryWriter:
+    """Offline top-down trajectory + map view (the viewer3D capability,
+    src/utils/viewer3D.py:25-210, rendered to images instead of a pangolin
+    window): estimated vs gt camera trails in the XZ ground plane, current
+    camera marked, persistent-map points overlaid when a front-end map is
+    live. Writes {output}/traj_vis/{idx:05d}.png at the given cadence."""
+
+    def __init__(self, freq: int, out_dir: str, verbose: bool = False):
+        self.freq = max(int(freq), 1)
+        self.out_dir = out_dir
+        self.verbose = verbose
+        os.makedirs(out_dir, exist_ok=True)
+
+    def vis(self, slam, idx: int):
+        if idx % self.freq != 0 or idx == 0:
+            return
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        est = np.asarray(slam.estimate_c2w_list[: idx + 1])
+        gt = np.asarray(slam.gt_c2w_list[: idx + 1])
+        fig, ax = plt.subplots(figsize=(5, 5))
+        fe = getattr(slam, "frontend", None)
+        if fe is not None and getattr(fe, "map", None) is not None:
+            pts = [mp.pt for mp in fe.map.points if not mp.is_bad]
+            if pts:
+                p = np.stack(pts)
+                ax.scatter(p[:, 0], p[:, 2], s=1, c="0.75",
+                           label=f"map ({len(p)} pts)")
+        ax.plot(gt[:, 0, 3], gt[:, 2, 3], "g-", lw=1, label="gt")
+        ax.plot(est[:, 0, 3], est[:, 2, 3], "r-", lw=1, label="estimate")
+        ax.plot(est[idx, 0, 3], est[idx, 2, 3], "r^", ms=8)
+        ax.set_aspect("equal")
+        ax.legend(loc="upper right", fontsize=7)
+        ax.set_title(f"frame {idx}")
+        path = os.path.join(self.out_dir, f"{idx:05d}.png")
+        fig.savefig(path, dpi=90)
+        plt.close(fig)
+        if self.verbose:
+            print(f"TrajectoryWriter: wrote {path}")
+
+
+class LossCurveWriter:
+    """Offline optimization-loss curves (the mplot_thread capability,
+    src/utils/mplot_thread.py:48-210, rendered to one updating PNG):
+    per-event start/end mapping loss and first/best tracking loss over
+    frames. Device arrays in slam.loss_log are pulled only here."""
+
+    def __init__(self, freq: int, out_dir: str, verbose: bool = False):
+        self.freq = max(int(freq), 1)
+        self.out_dir = out_dir
+        self.verbose = verbose
+        os.makedirs(out_dir, exist_ok=True)
+
+    def vis(self, slam, idx: int):
+        log = getattr(slam, "loss_log", None)
+        if log is None or idx % self.freq != 0 or idx == 0:
+            return
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+        if log["mapping"]:
+            fr = [i for i, _ in log["mapping"]]
+            first = [float(np.asarray(l)[0]) for _, l in log["mapping"]]
+            last = [float(np.asarray(l)[-1]) for _, l in log["mapping"]]
+            axes[0].plot(fr, first, "0.7", label="start")
+            axes[0].plot(fr, last, "b", label="end")
+            axes[0].set_yscale("log")
+            axes[0].set_title("mapping loss / event")
+            axes[0].legend(fontsize=7)
+        if log["tracking"]:
+            fr = [i for i, _, _ in log["tracking"]]
+            first = [float(f) for _, f, _ in log["tracking"]]
+            best = [float(b) for _, _, b in log["tracking"]]
+            axes[1].plot(fr, first, "0.7", label="first")
+            axes[1].plot(fr, best, "b", label="best")
+            axes[1].set_yscale("log")
+            axes[1].set_title("tracking loss / frame")
+            axes[1].legend(fontsize=7)
+        fig.tight_layout()
+        path = os.path.join(self.out_dir, "loss_curves.png")
+        fig.savefig(path, dpi=90)
+        plt.close(fig)
+        if self.verbose:
+            print(f"LossCurveWriter: wrote {path}")

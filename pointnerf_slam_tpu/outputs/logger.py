@@ -160,4 +160,16 @@ def attach_outputs(slam):
         slam.match_visualizer = MatchVisualizer(
             cfg["tracking"]["vis_freq"],
             os.path.join(slam.output, "matches_vis"), slam.verbose)
+    # offline stand-ins for the reference's interactive viewer3D /
+    # mplot_thread windows (headless image): top-down trajectory+map view
+    # and optimization loss curves, at the mapping vis cadence
+    from .draw import LossCurveWriter, TrajectoryWriter
+    slam.aux_visualizers = [
+        TrajectoryWriter(cfg["mapping"]["vis_freq"],
+                         os.path.join(slam.output, "traj_vis"),
+                         slam.verbose),
+        LossCurveWriter(cfg["mapping"]["vis_freq"],
+                        os.path.join(slam.output, "loss_vis"),
+                        slam.verbose),
+    ]
     return slam

@@ -80,3 +80,35 @@ def test_match_visualizer_writes_panel(tmp_path):
     mv.vis(slam, 5)
     assert not os.path.exists(tmp_path / "matches_vis" / "00004.jpg")
     assert os.path.exists(tmp_path / "matches_vis" / "00005.jpg")
+
+
+def test_trajectory_and_loss_writers(tmp_path):
+    import jax.numpy as jnp
+    from pointnerf_slam_tpu.outputs.draw import (LossCurveWriter,
+                                                 TrajectoryWriter)
+    n = 12
+    est = np.tile(np.eye(4), (n, 1, 1))
+    est[:, 0, 3] = np.linspace(0, 1, n)
+    gt = est.copy()
+    gt[:, 2, 3] = 0.1
+
+    class MP:
+        def __init__(self, p):
+            self.pt = np.asarray(p, float)
+            self.is_bad = False
+
+    fe = SimpleNamespace(map=SimpleNamespace(points=[MP([0, 0, 1]),
+                                                     MP([1, 0, 2])]))
+    slam = SimpleNamespace(
+        estimate_c2w_list=est, gt_c2w_list=gt, frontend=fe,
+        loss_log={"mapping": [(5, jnp.array([10.0, 5.0, 2.0]))],
+                  "tracking": [(5, jnp.float32(8.0), jnp.float32(1.0))]})
+    tw = TrajectoryWriter(5, str(tmp_path / "traj_vis"))
+    lw = LossCurveWriter(5, str(tmp_path / "loss_vis"))
+    tw.vis(slam, 4)
+    lw.vis(slam, 4)
+    assert not os.listdir(tmp_path / "traj_vis")
+    tw.vis(slam, 10)
+    lw.vis(slam, 10)
+    assert os.path.exists(tmp_path / "traj_vis" / "00010.png")
+    assert os.path.exists(tmp_path / "loss_vis" / "loss_curves.png")
