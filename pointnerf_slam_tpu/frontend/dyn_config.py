@@ -30,12 +30,21 @@ class SLAMDynamicConfig:
     def update_descriptor_stat(self, match_distances: np.ndarray):
         if np.asarray(match_distances).size == 0:
             return self.max_descriptor_distance
-        sigma = descriptor_sigma_mad(match_distances)
-        med = float(np.median(match_distances))
+        return self.update_descriptor_stats(
+            float(np.median(match_distances)),
+            descriptor_sigma_mad(match_distances))
+
+    def update_descriptor_stats(self, med: float, sigma: float,
+                                lo: float = 0.4, hi: float = 0.95):
+        """EWMA update from precomputed robust stats (the fused two-view
+        step returns median + MAD of the accepted match scores on-device).
+        Clamped so sparse/degenerate frames cannot run the gate away."""
+        if not (np.isfinite(med) and np.isfinite(sigma)) or med <= 0:
+            return self.max_descriptor_distance
         new = med + 3.0 * sigma
         a = self.ewma_alpha
-        self.max_descriptor_distance = (
-            (1 - a) * self.max_descriptor_distance + a * new)
+        self.max_descriptor_distance = float(np.clip(
+            (1 - a) * self.max_descriptor_distance + a * new, lo, hi))
         return self.max_descriptor_distance
 
     def update_reproj_err(self, errs: np.ndarray):

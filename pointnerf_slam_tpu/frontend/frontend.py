@@ -114,6 +114,14 @@ class SparseFrontend:
         self._feat_cache = {}   # frame_idx -> prefetched features (P1)
         self.last_debug = None  # latest two-view match record (draw.py)
         self._runners = {}      # mode -> fused_twoview.TwoViewRunner
+        # adaptive descriptor gate (slam_dynamic_config capability): EWMA
+        # of med+3*MAD of accepted match scores, fed back into the next
+        # frame's matcher. dyn_matching: false pins the static nn_thresh.
+        self.dyn = None
+        if cfg.get("dyn_matching", True):
+            from .dyn_config import SLAMDynamicConfig
+            self.dyn = SLAMDynamicConfig(
+                max_descriptor_distance=self.nn_thresh)
 
     def _default_extractor(self, cfg, H, W):
         """Weak-mode default: the SuperPoint CNN (the reference's flagship
@@ -196,7 +204,12 @@ class SparseFrontend:
                       bound=field_ctx["bound"])
         r = self._runner_for(mode, field_ctx).run(
             mode, feats_ref, feats_cur, Tcw_ref_cv, self._next_key(),
-            self.median_gt_depth, self.depth_scale, **kw)
+            self.median_gt_depth, self.depth_scale,
+            nn_thresh=(self.dyn.max_descriptor_distance
+                       if self.dyn is not None else None), **kw)
+        if self.dyn is not None:
+            self.dyn.update_descriptor_stats(r["score_med"],
+                                             r["score_mad"])
         if set_scale:
             if r["n_cand"] < 8:
                 raise RuntimeError(

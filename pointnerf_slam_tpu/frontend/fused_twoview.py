@@ -59,14 +59,14 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
                           the reprojection pixels; model_cfg/rcfg required).
 
     Returns step(kps_r, desc_r, val_r, kps_c, desc_c, val_c, Tcw_ref, key,
-                 median_gt_depth, depth_scale, params, c_grid, c2w_pred,
-                 bound)
+                 median_gt_depth, depth_scale, nn_thresh_rt, params,
+                 c_grid, c2w_pred, bound)
       -> (out_kp (K, 12), out_small (28,)) where
       out_kp columns: [u_cur, v_cur, u_ref, v_ref, z_cur, z_ref, accept,
                        field_ok, px, py, pz, idx2]  (z scaled, p in world)
       out_small: [Tcw_cur.flat (16), n_matches, n_inliers, n_cand,
-                  n_scale_ok, n_field_ok, n_accept, scale, lm_inliers,
-                  pad...(4)]
+                  n_scale_ok, n_field_ok, n_accept, scale, 0,
+                  score_med, score_mad, pad (2)]
     params/c_grid/c2w_pred/bound are consumed only in 'field' mode (pass
     zeros-likes otherwise; the traced graph drops them).
     """
@@ -75,14 +75,21 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
         assert model_cfg is not None and rcfg is not None
 
     def step(kps_r, desc_r, val_r, kps_c, desc_c, val_c, Tcw_ref, key,
-             median_gt_depth, depth_scale, params, c_grid, c2w_pred,
-             bound):
+             median_gt_depth, depth_scale, nn_thresh_rt, params, c_grid,
+             c2w_pred, bound):
         K = kps_c.shape[0]
         f = jnp.array([fx, fy], jnp.float32)
         c = jnp.array([cx, cy], jnp.float32)
 
-        idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
-                                        nn_thresh)
+        # nn_thresh_rt: the ADAPTIVE descriptor gate (slam_dynamic_config
+        # capability) — a traced scalar so the EWMA update on the host
+        # does not retrace; the constructor nn_thresh is its initial value
+        idx2, mvalid, scores = match_two_way(desc_c, val_c, desc_r, val_r,
+                                             nn_thresh_rt)
+        # robust match-score stats for the host EWMA (median + MAD of the
+        # accepted scores; src/utils/utils_features.py:137-160 capability)
+        s_med = _masked_median(scores, mvalid)
+        s_mad = 1.4826 * _masked_median(jnp.abs(scores - s_med), mvalid)
         kpn_cur = (kps_c - c) / f
         kpn_ref = ((kps_r - c) / f)[idx2]
 
@@ -172,7 +179,8 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
             jnp.stack([jnp.sum(mvalid), n_inl, n_cand, n_scale_ok,
                        n_field_ok, jnp.sum(accept)]).astype(jnp.float32),
             jnp.stack([s, jnp.float32(0)]),
-            jnp.zeros((4,), jnp.float32)])
+            jnp.stack([s_med, s_mad]),
+            jnp.zeros((2,), jnp.float32)])
         return out_kp, out_small
 
     return jax.jit(step)
@@ -186,11 +194,12 @@ class TwoViewRunner:
         self._mk = lambda mode: make_two_view_step(
             H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh, mode,
             model_cfg=model_cfg, rcfg=rcfg, bundle_loss=bundle_loss)
+        self._nn_default = float(nn_thresh)
         self._steps = {}
 
     def run(self, mode, feats_ref, feats_cur, Tcw_ref, key,
-            median_gt_depth, depth_scale, params=None, c_grid=None,
-            c2w_pred=None, bound=None):
+            median_gt_depth, depth_scale, nn_thresh=None, params=None,
+            c_grid=None, c2w_pred=None, bound=None):
         import os
         import time
         import numpy as np
@@ -205,6 +214,8 @@ class TwoViewRunner:
             jnp.asarray(Tcw_ref, jnp.float32), key,
             jnp.float32(median_gt_depth or 1.0),
             jnp.float32(depth_scale or 1.0),
+            jnp.float32(self._nn_default if nn_thresh is None
+                        else nn_thresh),
             params if params is not None else {},
             c_grid or {},
             jnp.asarray(c2w_pred, jnp.float32)
@@ -227,4 +238,5 @@ class TwoViewRunner:
             "n_cand": int(small[18]), "n_scale_ok": int(small[19]),
             "n_field_ok": int(small[20]), "n_accept": int(small[21]),
             "scale": float(small[22]),
+            "score_med": float(small[24]), "score_mad": float(small[25]),
         }
