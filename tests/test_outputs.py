@@ -450,3 +450,30 @@ class TestMeshCleanup:
         assert len(t3) == 1
         v4, t4 = cull_faces(verts, tris, np.ones(4, bool))
         assert len(t4) == 0
+
+
+class TestAttachOutputs:
+    def test_full_output_stack_writes_artifacts(self, tmp_path):
+        """attach_outputs wires logger + mesher + all visualizers; a short
+        engine run must produce checkpoints, mapping/trajectory/loss
+        artifacts (the offline stand-ins for the reference's interactive
+        viewer windows)."""
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        from pointnerf_slam_tpu.outputs import attach_outputs
+
+        cfg = tiny_cfg(
+            data={"output": str(tmp_path), "n_frames": 7},
+            mapping={"vis_freq": 3, "ckpt_freq": 1, "mesh_freq": 10_000},
+            tracking={"vis_freq": 3, "gt_camera": True},
+            meshing={"eval_rec": False},
+        )
+        slam = PointNeRFSLAM(cfg)
+        slam.mesher = None          # meshing covered elsewhere; keep fast
+        attach_outputs(slam)
+        slam.mesher = None
+        slam.run()
+        assert any((tmp_path / "ckpts").iterdir())
+        assert (tmp_path / "traj_vis" / "00003.png").exists()
+        assert (tmp_path / "loss_vis" / "loss_curves.png").exists()
+        assert any((tmp_path / "mapping_vis").iterdir())
