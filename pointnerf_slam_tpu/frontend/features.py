@@ -290,6 +290,10 @@ class SuperPointExtractor:
             score = jnp.where(keep, heat, 0.0)
             kps, valid, _ = _topk_keypoints(score, max_kps, border,
                                             conf_thresh)
+            # 3x3 quadratic subpixel peak (same refinement Harris gets):
+            # the semi head localizes to integer pixels; triangulation
+            # accuracy needs better than cell-grid corners
+            kps = _subpixel_refine(heat, kps)
             desc = _sample_desc(desc_c, kps, H, W)
             return kps, desc, valid
 

@@ -124,26 +124,26 @@ class SparseFrontend:
                 max_descriptor_distance=self.nn_thresh)
 
     def _default_extractor(self, cfg, H, W):
-        """Weak-mode default: the SuperPoint CNN (the reference's flagship
-        extractor, src/frame.py:271) when weights are available and the
-        image divides the 8x8 cell grid, else Harris.
+        """Weak-mode extractor: the SuperPoint CNN (the reference's
+        flagship extractor, src/frame.py:271) when usable weights exist
+        and the image divides the 8x8 cell grid, else Harris.
 
-        Weight search order: `superpoint_weights` from the config (.pth =
-        public torch checkpoint via the converter, .npz = our distilled
-        checkpoint; 'none' forces Harris), then the in-repo distilled
-        checkpoint pretrained/superpoint_synthetic.npz
-        (tools/train_superpoint.py)."""
+        `superpoint_weights` in the config names the checkpoint (.pth =
+        public torch weights via the converter, .npz = the distilled
+        checkpoint from tools/train_superpoint.py; 'none' forces Harris).
+        The default path is the public checkpoint only: the in-repo
+        distilled npz (pretrained/superpoint_synthetic.npz) runs the full
+        weak pipeline (tests/test_frontend.py SP-bootstrap test) but its
+        small-corpus descriptors mismatch repetitive texture often enough
+        to lose ~2x triangulation accuracy vs Harris patches on the
+        synthetic scenes — so it is opt-in, not default."""
         sp_cfg = cfg.get("superpoint_weights",
                          "pretrained/superpoint_v1.pth")
         if str(sp_cfg).lower() in ("none", "off", "false") \
                 or H % 8 or W % 8:
             return HarrisExtractor(max_kps=self.max_kps)
-        repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
-        for cand in (sp_cfg,
-                     os.path.join(repo_root, "pretrained",
-                                  "superpoint_synthetic.npz")):
-            if cand and os.path.exists(cand):
-                return SuperPointExtractor(cand, max_kps=self.max_kps)
+        if os.path.exists(str(sp_cfg)):
+            return SuperPointExtractor(str(sp_cfg), max_kps=self.max_kps)
         return HarrisExtractor(max_kps=self.max_kps)
 
     # -- helpers -----------------------------------------------------------
