@@ -46,7 +46,7 @@ class FeatureManager:
 
     def detect_and_compute(self, img_gray: np.ndarray):
         """(kps (K,2), desc (K,D), valid (K,)) with the configured filter."""
-        kps, desc, valid = self.extractor.extract(jnp.asarray(img_gray))
+        kps, desc, valid, _ = self.extractor.extract(jnp.asarray(img_gray))
         kps = np.asarray(kps)
         desc = np.asarray(desc)
         valid = np.asarray(valid)

@@ -1,6 +1,7 @@
 """Keypoint detection + description, fully on-device.
 
-Two extractors behind one interface `extract(gray) -> (kps, desc, valid)`:
+Two extractors behind one interface
+`extract(gray) -> (kps, desc, valid, angles)`:
 
   - `SuperPointExtractor`: the SuperPoint CNN (shared VGG encoder, 65-channel
     detector head, 256-d descriptor head — capability of
@@ -15,6 +16,13 @@ Two extractors behind one interface `extract(gray) -> (kps, desc, valid)`:
 Both use static top-K outputs with validity masks and grid NMS (the
 reference's nms_fast, demo_superpoint.py:158-221, is a serial greedy
 suppression; a max-pool equality test is its data-parallel equivalent).
+
+Both also return per-keypoint ORB-style intensity-centroid ORIENTATIONS
+(`angles`, radians): the reference's rotation-histogram match gate
+(src/rotation_histogram.py:24-88, applied in src/search_points.py behind
+`Frame.oriented_features`) is dead code there because SuperPoint provides
+no orientations — computing them here makes the gate live (see
+frontend.py / fused_twoview.py).
 """
 
 from __future__ import annotations
@@ -69,6 +77,29 @@ def _gather_patches(img: jnp.ndarray, kps: jnp.ndarray, size: int):
     return p / jnp.maximum(n, 1e-8)
 
 
+def intensity_centroid_angles(img: jnp.ndarray, kps: jnp.ndarray,
+                              radius: int = 7) -> jnp.ndarray:
+    """ORB-style intensity-centroid keypoint orientations (radians).
+
+    theta = atan2(m01, m10) with moments m10 = sum(x * I), m01 = sum(y * I)
+    over a circular patch of the given radius (Rublee et al., ORB 2011 —
+    the orientation the reference's pyslam ORB path feeds its
+    rotation-histogram gate). Image y grows downward; the convention only
+    needs to be consistent between the two matched frames."""
+    H, W = img.shape
+    off = jnp.arange(-radius, radius + 1)
+    oy, ox = jnp.meshgrid(off, off, indexing="ij")
+    circ = (ox * ox + oy * oy <= radius * radius).astype(jnp.float32)
+    oy = oy.reshape(1, -1)
+    ox = ox.reshape(1, -1)
+    y = jnp.clip(kps[:, 1:2].astype(jnp.int32) + oy, 0, H - 1)
+    x = jnp.clip(kps[:, 0:1].astype(jnp.int32) + ox, 0, W - 1)
+    p = img[y, x] * circ.reshape(1, -1)
+    m10 = jnp.sum(p * ox, axis=1)
+    m01 = jnp.sum(p * oy, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
 class HarrisExtractor:
     """Harris corners + 11x11 normalized patch descriptors."""
 
@@ -121,7 +152,8 @@ def _harris_extract(gray, *, max_kps, nms_radius, border, k, min_conf,
                                     rel_conf)
     kps = _subpixel_refine(score, kps)
     desc = _gather_patches(gb, kps, patch)
-    return kps, desc, valid
+    angles = intensity_centroid_angles(gb, kps)
+    return kps, desc, valid, angles
 
 
 def _subpixel_refine(score: jnp.ndarray, kps: jnp.ndarray) -> jnp.ndarray:
@@ -295,7 +327,8 @@ class SuperPointExtractor:
             # accuracy needs better than cell-grid corners
             kps = _subpixel_refine(heat, kps)
             desc = _sample_desc(desc_c, kps, H, W)
-            return kps, desc, valid
+            angles = intensity_centroid_angles(gray, kps)
+            return kps, desc, valid, angles
 
         self._fn = _extract
 

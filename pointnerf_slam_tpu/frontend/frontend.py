@@ -122,6 +122,11 @@ class SparseFrontend:
             from .dyn_config import SLAMDynamicConfig
             self.dyn = SLAMDynamicConfig(
                 max_descriptor_distance=self.nn_thresh)
+        # orientation-consistency match gate (rotation_histogram
+        # capability, src/search_points.py:48,71-76): live here because
+        # our extractors return intensity-centroid orientations (the
+        # reference's gate is dead code behind Frame.oriented_features)
+        self.check_orientation = bool(cfg.get("check_orientation", True))
 
     def _default_extractor(self, cfg, H, W):
         """Weak-mode extractor: the SuperPoint CNN (the reference's
@@ -184,7 +189,8 @@ class SparseFrontend:
                 self.nn_thresh, self.ransac_thresh,
                 model_cfg=field_ctx.get("model_cfg") if field_ctx else None,
                 rcfg=field_ctx.get("rcfg") if field_ctx else None,
-                bundle_loss=self.bundle_loss)
+                bundle_loss=self.bundle_loss,
+                check_orientation=self.check_orientation)
         return self._runners[mode]
 
     def _two_view(self, feats_ref, feats_cur, Tcw_ref_cv: np.ndarray,
@@ -223,13 +229,14 @@ class SparseFrontend:
             jnp.asarray(uv, jnp.float32), jnp.asarray(z, jnp.float32),
             jnp.asarray(accept), self.H, self.W, self.depth_patch)
 
-    def _kf_for(self, frame_idx, kpn_full, desc, valid, Tcw_cv):
+    def _kf_for(self, frame_idx, kpn_full, desc, valid, Tcw_cv,
+                angles=None):
         """Get-or-create the bounded-window KeyFrame for a frame."""
         kf = self._kfs.get(frame_idx)
         if kf is None:
             kf = KeyFrame(frame_idx, np.asarray(kpn_full),
                           np.asarray(desc), np.asarray(valid),
-                          np.asarray(Tcw_cv))
+                          np.asarray(Tcw_cv), angles=angles)
             self._kfs[frame_idx] = kf
             self._kf_order.append(frame_idx)
             self.map.add_keyframe(kf)
@@ -362,10 +369,16 @@ class SparseFrontend:
                                  Tcw_c, Tcw_r):
         """Match + triangulate + gate + register a frame pair into the
         persistent map (bootstrap seeding path)."""
-        kps_c, desc_c, val_c = feats_c
-        kps_r, desc_r, val_r = feats_r
+        kps_c, desc_c, val_c, ang_c = feats_c
+        kps_r, desc_r, val_r, ang_r = feats_r
         idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
                                         self.nn_thresh)
+        if self.check_orientation:
+            from .rotation_histogram import \
+                filter_matches_with_histogram_orientation
+            mvalid = filter_matches_with_histogram_orientation(
+                jnp.asarray(ang_r)[idx2], jnp.asarray(ang_c), mvalid,
+                min_keep=16, min_frac=0.7)
         kpn_c = self._kpn(kps_c)
         kpn_r_full = self._kpn(kps_r)
         pts3d, ok = triangulate_points(
@@ -380,9 +393,9 @@ class SparseFrontend:
             accept = accept & (zc > 0.25 * self.median_gt_depth) \
                 & (zc < 4.0 * self.median_gt_depth)
         kf_r = self._kf_for(idx_r, np.asarray(kpn_r_full), desc_r, val_r,
-                            Tcw_r)
+                            Tcw_r, angles=ang_r)
         kf_c = self._kf_for(idx_c, np.asarray(kpn_c), desc_c, val_c,
-                            Tcw_c)
+                            Tcw_c, angles=ang_c)
         self._map_update(idx_c, kf_c, kf_r, idx2, pts3d, accept, Tcw_c)
 
     def track_continuous(self, frame_reader, idx: int,
@@ -430,9 +443,11 @@ class SparseFrontend:
 
         if self.map is not None:
             kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(
-                feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv)
+                feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv,
+                angles=feats_ref[3])
             kf_cur = self._kf_for(idx, np.asarray(self._kpn(feats_cur[0])),
-                                  feats_cur[1], feats_cur[2], Tcw_cur_cv)
+                                  feats_cur[1], feats_cur[2], Tcw_cur_cv,
+                                  angles=feats_cur[3])
             # world points for the map: reproject accepted uv/z through the
             # scaled current pose
             Twc = _inv_rigid_np(Tcw_cur_cv)
@@ -484,7 +499,7 @@ class SparseFrontend:
             _, color_cur, _, _ = frame_reader[idx]
             feats_cur = self._extract(color_cur)
         ref_idx = self.prev["frame_idx"]
-        kps_r, desc_r, val_r = self.prev["feats"]
+        kps_r, desc_r, val_r, ang_r = self.prev["feats"]
         kpn_ref_full = self._kpn(kps_r)
         if self.map is not None:
             # prefer an OLDER cached frame as the triangulation partner:
@@ -499,12 +514,20 @@ class SparseFrontend:
                 kpn_ref_full = jnp.asarray(kf.kps, jnp.float32)
                 desc_r, val_r = (jnp.asarray(kf.desc),
                                  jnp.asarray(kf.valid))
+                ang_r = jnp.asarray(kf.angles) \
+                    if kf.angles is not None else None
         Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
         Tcw_cur_cv = nerf_c2w_to_cv_w2c(cur_c2w_pred)
 
-        kps_c, desc_c, val_c = feats_cur
+        kps_c, desc_c, val_c, ang_c = feats_cur
         idx2, mvalid, _ = match_two_way(desc_c, val_c, desc_r, val_r,
                                         self.nn_thresh)
+        if self.check_orientation and ang_r is not None:
+            from .rotation_histogram import \
+                filter_matches_with_histogram_orientation
+            mvalid = filter_matches_with_histogram_orientation(
+                jnp.asarray(ang_r)[idx2], jnp.asarray(ang_c), mvalid,
+                min_keep=16, min_frac=0.7)
         kpn_cur = self._kpn(kps_c)
         kpn_ref = kpn_ref_full[idx2]
 
@@ -576,9 +599,9 @@ class SparseFrontend:
             # too thin to splat still contributes observations, and
             # confirmed map projections can carry the frame by themselves
             kf_ref = self._kf_for(ref_idx, np.asarray(kpn_ref_full),
-                                  desc_r, val_r, Tcw_ref_cv)
+                                  desc_r, val_r, Tcw_ref_cv, angles=ang_r)
             kf_cur = self._kf_for(idx, np.asarray(kpn_cur), desc_c, val_c,
-                                  Tcw_cur_cv)
+                                  Tcw_cur_cv, angles=ang_c)
             uv_m, z_m, acc_m = self._map_update(
                 idx, kf_cur, kf_ref, idx2, pts3d, accept, Tcw_cur_cv)
             uv_cur = np.concatenate([uv_cur, uv_m], axis=0)

@@ -35,6 +35,7 @@ from ..core.se3 import camera_from_tensor, tensor_from_camera, \
 from .ba import pose_optimization
 from .epipolar import estimate_relative_pose_ransac
 from .matching import match_two_way
+from .rotation_histogram import filter_matches_with_histogram_orientation
 from .triangulate import point_checks, triangulate_points
 
 
@@ -49,7 +50,8 @@ def _masked_median(x, m):
 
 def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
                        mode: str, model_cfg=None, rcfg=None,
-                       bundle_loss: bool = True):
+                       bundle_loss: bool = True,
+                       check_orientation: bool = True):
     """Build the fused two-view device step.
 
     mode: 'bootstrap'   — scale from median_gt_depth / median z.
@@ -58,9 +60,9 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
                           gate (renders the current neural field's depth at
                           the reprojection pixels; model_cfg/rcfg required).
 
-    Returns step(kps_r, desc_r, val_r, kps_c, desc_c, val_c, Tcw_ref, key,
-                 median_gt_depth, depth_scale, nn_thresh_rt, params,
-                 c_grid, c2w_pred, bound)
+    Returns step(kps_r, desc_r, val_r, ang_r, kps_c, desc_c, val_c, ang_c,
+                 Tcw_ref, key, median_gt_depth, depth_scale, nn_thresh_rt,
+                 params, c_grid, c2w_pred, bound)
       -> (out_kp (K, 12), out_small (28,)) where
       out_kp columns: [u_cur, v_cur, u_ref, v_ref, z_cur, z_ref, accept,
                        field_ok, px, py, pz, idx2]  (z scaled, p in world)
@@ -74,9 +76,9 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
     if mode == "field":
         assert model_cfg is not None and rcfg is not None
 
-    def step(kps_r, desc_r, val_r, kps_c, desc_c, val_c, Tcw_ref, key,
-             median_gt_depth, depth_scale, nn_thresh_rt, params, c_grid,
-             c2w_pred, bound):
+    def step(kps_r, desc_r, val_r, ang_r, kps_c, desc_c, val_c, ang_c,
+             Tcw_ref, key, median_gt_depth, depth_scale, nn_thresh_rt,
+             params, c_grid, c2w_pred, bound):
         K = kps_c.shape[0]
         f = jnp.array([fx, fy], jnp.float32)
         c = jnp.array([cx, cy], jnp.float32)
@@ -86,6 +88,12 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
         # does not retrace; the constructor nn_thresh is its initial value
         idx2, mvalid, scores = match_two_way(desc_c, val_c, desc_r, val_r,
                                              nn_thresh_rt)
+        if check_orientation:
+            # orientation-consistency gate (rotation_histogram capability —
+            # live here because our extractors provide orientations; the
+            # reference's gate is dead behind Frame.oriented_features)
+            mvalid = filter_matches_with_histogram_orientation(
+                ang_r[idx2], ang_c, mvalid, min_keep=16, min_frac=0.7)
         # robust match-score stats for the host EWMA (median + MAD of the
         # accepted scores; src/utils/utils_features.py:137-160 capability)
         s_med = _masked_median(scores, mvalid)
@@ -190,10 +198,12 @@ class TwoViewRunner:
     """Host-side cache of the compiled variants + result unpacking."""
 
     def __init__(self, H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
-                 model_cfg=None, rcfg=None, bundle_loss=True):
+                 model_cfg=None, rcfg=None, bundle_loss=True,
+                 check_orientation=True):
         self._mk = lambda mode: make_two_view_step(
             H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh, mode,
-            model_cfg=model_cfg, rcfg=rcfg, bundle_loss=bundle_loss)
+            model_cfg=model_cfg, rcfg=rcfg, bundle_loss=bundle_loss,
+            check_orientation=check_orientation)
         self._nn_default = float(nn_thresh)
         self._steps = {}
 
@@ -207,10 +217,10 @@ class TwoViewRunner:
         t0 = time.time()
         if mode not in self._steps:
             self._steps[mode] = self._mk(mode)
-        kps_r, desc_r, val_r = feats_ref
-        kps_c, desc_c, val_c = feats_cur
+        kps_r, desc_r, val_r, ang_r = feats_ref
+        kps_c, desc_c, val_c, ang_c = feats_cur
         out_kp, out_small = self._steps[mode](
-            kps_r, desc_r, val_r, kps_c, desc_c, val_c,
+            kps_r, desc_r, val_r, ang_r, kps_c, desc_c, val_c, ang_c,
             jnp.asarray(Tcw_ref, jnp.float32), key,
             jnp.float32(median_gt_depth or 1.0),
             jnp.float32(depth_scale or 1.0),

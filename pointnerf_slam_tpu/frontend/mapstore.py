@@ -106,7 +106,7 @@ class KeyFrame:
     _next_id = 0
 
     def __init__(self, frame_idx: int, kps: np.ndarray, desc: np.ndarray,
-                 valid: np.ndarray, Tcw: np.ndarray):
+                 valid: np.ndarray, Tcw: np.ndarray, angles=None):
         self.id = KeyFrame._next_id
         KeyFrame._next_id += 1
         self.kid = self.id  # keyframe id in insertion order
@@ -114,6 +114,9 @@ class KeyFrame:
         self.kps = np.asarray(kps)
         self.desc = np.asarray(desc)
         self.valid = np.asarray(valid)
+        # keypoint orientations (radians) — kept so later triangulation
+        # partners can still run the rotation-histogram gate
+        self.angles = None if angles is None else np.asarray(angles)
         self.Tcw = np.asarray(Tcw, np.float64)
         self.points: List[Optional[MapPoint]] = [None] * len(kps)
         self.is_bad = False

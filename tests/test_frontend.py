@@ -162,7 +162,7 @@ class TestExtractors:
     def test_harris_finds_checker_corners(self):
         img = self._checker()
         ex = HarrisExtractor(max_kps=64, border=4)
-        kps, desc, valid = ex.extract(img)
+        kps, desc, valid, _ang = ex.extract(img)
         kp = np.asarray(kps)[np.asarray(valid)]
         assert len(kp) > 10
         # corners sit at multiples of 8 (+-1 px)
@@ -171,7 +171,7 @@ class TestExtractors:
 
     def test_harris_descriptor_normalized(self):
         ex = HarrisExtractor(max_kps=32)
-        kps, desc, valid = ex.extract(self._checker())
+        kps, desc, valid, _ang = ex.extract(self._checker())
         n = np.linalg.norm(np.asarray(desc), axis=1)
         np.testing.assert_allclose(n[np.asarray(valid)], 1.0, atol=1e-4)
 
@@ -179,11 +179,75 @@ class TestExtractors:
         ex = SuperPointExtractor(weights_path=None, max_kps=100,
                                  conf_thresh=-1.0)
         img = jax.random.uniform(jax.random.PRNGKey(0), (64, 80))
-        kps, desc, valid = ex.extract(img)
+        kps, desc, valid, _ang = ex.extract(img)
         assert kps.shape == (100, 2)
         assert desc.shape == (100, 256)
         n = np.linalg.norm(np.asarray(desc), axis=1)
         np.testing.assert_allclose(n, 1.0, atol=1e-3)
+
+
+class TestOrientation:
+    """Intensity-centroid orientations + the rotation-histogram match gate
+    (capability of src/rotation_histogram.py:24-88 via search_points.py:48
+    — dead code in the reference because its extractors provide no
+    orientations; live here because ours do)."""
+
+    def test_centroid_angle_of_gradient_patches(self):
+        from pointnerf_slam_tpu.frontend.features import \
+            intensity_centroid_angles
+        H = W = 33
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        kps = jnp.asarray([[16.0, 16.0]])
+        ax = float(intensity_centroid_angles(jnp.asarray(xx), kps)[0])
+        ay = float(intensity_centroid_angles(jnp.asarray(yy), kps)[0])
+        assert abs(ax - 0.0) < 0.05           # brightness grows along +x
+        assert abs(ay - np.pi / 2) < 0.05     # brightness grows along +y
+
+    def test_centroid_angle_tracks_image_rotation(self):
+        from pointnerf_slam_tpu.frontend.features import \
+            intensity_centroid_angles
+        H = W = 65
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cx = cy = (H - 1) / 2.0
+        for rot in (0.5, 1.2):
+            # linear ramp along a rotated direction: the centroid angle of
+            # the CENTER patch must equal the ramp direction
+            img = np.cos(rot) * (xx - cx) + np.sin(rot) * (yy - cy)
+            a = float(intensity_centroid_angles(
+                jnp.asarray(img), jnp.asarray([[cx, cy]]))[0])
+            assert abs(((a - rot + np.pi) % (2 * np.pi)) - np.pi) < 0.05
+
+    def test_histogram_gate_drops_rotation_outliers(self):
+        """Inliers span 3 bins (realistic jitter around the true rotation);
+        outlier clusters land in lower-count bins and fall below the top-3
+        threshold (reference keeps exactly the top-3 bins, so with fewer
+        than 3 populated bins everything passes — same here)."""
+        from pointnerf_slam_tpu.frontend.rotation_histogram import \
+            filter_matches_with_histogram_orientation
+        rng = np.random.default_rng(3)
+        # bins are 2*pi/30 ~ 0.209 rad wide: 0.3/0.5/0.7 hit bins 1/2/3
+        delta = np.concatenate([np.full(40, 0.3), np.full(40, 0.5),
+                                np.full(28, 0.7),
+                                np.full(4, 2.0), np.full(4, 3.0),
+                                np.full(4, 4.0)])
+        M = len(delta)
+        out = np.arange(M - 12, M)
+        ang_ref = rng.uniform(0, 2 * np.pi, M)
+        ang_cur = ang_ref + delta
+        valid = np.ones(M, bool)
+        keep = np.asarray(filter_matches_with_histogram_orientation(
+            jnp.asarray(ang_ref), jnp.asarray(ang_cur), jnp.asarray(valid)))
+        assert not keep[out].any()
+        inl = np.arange(M - 12)
+        assert keep[inl].all()
+
+    def test_extractors_return_angles(self):
+        ex = HarrisExtractor(max_kps=32)
+        y, x = np.mgrid[0:64, 0:64]
+        img = jnp.asarray((((y // 8) + (x // 8)) % 2).astype(np.float32))
+        kps, desc, valid, ang = ex.extract(img)
+        assert ang.shape == (32,)
+        assert np.isfinite(np.asarray(ang)).all()
 
 
 class TestConventionBridge:
@@ -345,7 +409,7 @@ class TestSuperPointTorchParity:
         ex = SuperPointExtractor(weights_path=ckpt, max_kps=64,
                                  conf_thresh=0.0)
         rng = np.random.default_rng(1)
-        kps, desc, valid = ex.extract(jnp.asarray(
+        kps, desc, valid, _ang = ex.extract(jnp.asarray(
             rng.random((48, 64), np.float32)))
         assert kps.shape == (64, 2) and desc.shape == (64, 256)
         assert bool(np.asarray(valid).any())
