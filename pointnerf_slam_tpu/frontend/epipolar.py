@@ -53,6 +53,90 @@ def _sampson(E: jnp.ndarray, x_cur: jnp.ndarray, x_ref: jnp.ndarray):
     return num / jnp.maximum(den, 1e-12)
 
 
+def _signed_sampson(E: jnp.ndarray, x_cur: jnp.ndarray, x_ref: jnp.ndarray):
+    """First-order (signed) Sampson residual — sqrt of `_sampson`."""
+    ones = jnp.ones((x_cur.shape[0], 1))
+    xc = jnp.concatenate([x_cur, ones], -1)
+    xr = jnp.concatenate([x_ref, ones], -1)
+    Exc = xc @ E.T
+    Etxr = xr @ E
+    num = jnp.sum(xr * Exc, -1)
+    den = Exc[:, 0] ** 2 + Exc[:, 1] ** 2 + Etxr[:, 0] ** 2 + Etxr[:, 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+
+def _exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exp map, Taylor-safe at 0 (jit: no branches)."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    K = _skew(w)
+    a = jnp.sin(th) / th
+    b = (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-24)
+    a = jnp.where(th < 1e-6, 1.0, a)
+    b = jnp.where(th < 1e-6, 0.5, b)
+    return jnp.eye(3) + a * K + b * (K @ K)
+
+
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.array([[0.0, -v[2], v[1]],
+                      [v[2], 0.0, -v[0]],
+                      [-v[1], v[0], 0.0]])
+
+
+def _tangent_basis(t: jnp.ndarray) -> jnp.ndarray:
+    """(3, 2) orthonormal basis of the plane normal to unit t."""
+    # pick the axis least aligned with t to seed Gram-Schmidt
+    e = jnp.eye(3)[jnp.argmin(jnp.abs(t))]
+    b1 = e - t * jnp.dot(e, t)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=-1)
+
+
+def _gn_polish(R, t, x_cur, x_ref, w, sigma, iters: int = 8):
+    """Truncated-Huber-IRLS Gauss-Newton on (R, t) in SO(3) x S^2,
+    minimizing the signed Sampson residuals of E = [t]x R over the
+    weighted match set. Weights redescend to 0 past 3*sigma: plain Huber's
+    constant-magnitude gradient (w*r = sigma per point) lets a 30% gross-
+    outlier fraction rival the inlier signal (measured: 5 deg R bias);
+    truncation kills it while the <=sigma small-baseline regime — where
+    every residual is well inside 3*sigma — is untouched. Matches outside
+    3*sigma at one iterate re-enter later if the model moves toward them
+    (weights recompute each IRLS round).
+
+    The linear 8-point refit minimizes an ALGEBRAIC error; at realistic
+    keypoint noise and small baselines its translation direction is biased
+    tens of degrees even with a near-complete inlier set (measured). cv2's
+    5-point polynomial solver (what the reference calls, Tracker.py:356-360)
+    does not share the bias; this geometric polish is our equivalent
+    robustness, fully jit-safe (fixed iterations, 5-parameter solve)."""
+
+    def step(Rt, _):
+        R, t = Rt
+        B = _tangent_basis(t)
+
+        def res(p):
+            Rn = R @ _exp_so3(p[:3])
+            tn = t + B @ p[3:]
+            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            return _signed_sampson(_skew(tn) @ Rn, x_cur, x_ref)
+
+        r = res(jnp.zeros(5))
+        J = jax.jacfwd(res)(jnp.zeros(5))                    # (M, 5)
+        ww = w / jnp.maximum(1.0, jnp.abs(r) / sigma)        # Huber
+        ww = ww * (jnp.abs(r) < 3.0 * sigma)                 # redescend
+        A = J.T @ (J * ww[:, None]) + 1e-10 * jnp.eye(5)
+        g = J.T @ (r * ww)
+        p = -jnp.linalg.solve(A, g)
+        Rn = R @ _exp_so3(p[:3])
+        tn = t + B @ p[3:]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
 def _triangulate_two_view(R, t, x_cur, x_ref):
     """Midpoint-free DLT for cheirality checks: cameras P_ref = [I|0],
     P_cur = [R'|t'] where x_cur = R' x_ref + t' (inverse of (R, t)).
@@ -106,12 +190,38 @@ def estimate_relative_pose_ransac(kpn_ref: jnp.ndarray, kpn_cur: jnp.ndarray,
     Es = jax.vmap(hyp)(keys)                       # (N_h, 3, 3)
     d2 = jax.vmap(lambda E: _sampson(E, kpn_cur, kpn_ref))(Es)  # (N_h, M)
     inl = (d2 < thresh ** 2) & match_valid[None, :]
-    counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
-    E = Es[best]
-    inlier_mask = inl[best]
+    # MSAC score: relu(th^2 - d^2) rewards tight fits among the inliers —
+    # better model selection than raw counts when noise ~ threshold
+    msac = jnp.sum(jnp.where(match_valid[None, :],
+                             jax.nn.relu(thresh ** 2 - d2), 0.0), axis=1)
 
-    # iterative all-inlier refit (weighted 8-point via the 9x9 normal
+    # Multi-start: at realistic keypoint noise the MSAC landscape is
+    # bimodal (measured: seeds split ~8 deg vs ~60 deg in t with near-equal
+    # inlier counts — the small-baseline R/t confusion). Polishing ONE
+    # winner inherits its basin; instead refit+decompose+polish K starts
+    # independently and pick by final robust Sampson cost (measured to
+    # separate the basins where inlier counts do not). The K starts are
+    # chosen MSAC-best-first with a translation-direction diversity gate
+    # (>= 25 deg apart), because at a bad key the top-8 by MSAC alone all
+    # sit in one basin.
+    TOPK = 8
+    t_all = jax.vmap(lambda E: jnp.linalg.svd(E)[0][:, 2])(Es)  # (N_h, 3)
+
+    def pick_one(carry, _):
+        picked_t, score = carry
+        b = jnp.argmax(score)
+        tb = t_all[b]
+        # mask out hypotheses whose |t . tb| is large (same basin, either
+        # sign — t is sign-ambiguous pre-cheirality)
+        close = jnp.abs(t_all @ tb) > jnp.cos(jnp.deg2rad(25.0))
+        score = jnp.where(close, -jnp.inf, score)
+        # if everything is masked, later picks repeat argmax of -inf = 0;
+        # harmless (duplicate starts polish to the same candidate)
+        return (picked_t, score), b
+
+    _, top = jax.lax.scan(pick_one, (t_all, msac), None, length=TOPK)
+
+    # all-inlier refit operands (weighted 8-point via the 9x9 normal
     # matrix) — stabilizes small-baseline estimates that a minimal sample
     # cannot pin down; cv2's 5-point RANSAC gets this robustness from its
     # polynomial solver, we get it from the refit.
@@ -129,29 +239,54 @@ def estimate_relative_pose_ransac(kpn_ref: jnp.ndarray, kpn_cur: jnp.ndarray,
         d2 = _sampson(E, kpn_cur, kpn_ref)
         return E, (d2 < thresh ** 2) & match_valid
 
-    for _ in range(2):
-        E, inlier_mask = refit(E, inlier_mask)
-
-    # recoverPose: 4 candidate decompositions, cheirality vote over inliers
-    u, _, vt = jnp.linalg.svd(E)
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    R1 = u @ W @ vt
-    R2 = u @ W.T @ vt
-    t = u[:, 2]
 
-    def score(R, t):
-        z_ref, z_cur = _triangulate_two_view(R, t, kpn_cur, kpn_ref)
-        ok = (z_ref > 0) & (z_cur > 0) & inlier_mask
-        return jnp.sum(ok)
+    def polish_one(E, inlier_mask):
+        for _ in range(2):
+            E, inlier_mask = refit(E, inlier_mask)
 
-    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
-    scores = jnp.stack([score(R, tt) for R, tt in cands])
-    Rs = jnp.stack([c[0] for c in cands])
-    ts = jnp.stack([c[1] for c in cands])
-    b = jnp.argmax(scores)
-    R, t = Rs[b], ts[b]
+        # recoverPose: 4 decompositions, cheirality vote over inliers
+        u, _, vt = jnp.linalg.svd(E)
+        u = u * jnp.sign(jnp.linalg.det(u))
+        vt = vt * jnp.sign(jnp.linalg.det(vt))
+        R1 = u @ W @ vt
+        R2 = u @ W.T @ vt
+        t = u[:, 2]
+
+        def score(R, t):
+            z_ref, z_cur = _triangulate_two_view(R, t, kpn_cur, kpn_ref)
+            ok = (z_ref > 0) & (z_cur > 0) & inlier_mask
+            return jnp.sum(ok)
+
+        cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+        scores = jnp.stack([score(R, tt) for R, tt in cands])
+        Rs = jnp.stack([c[0] for c in cands])
+        ts = jnp.stack([c[1] for c in cands])
+        b = jnp.argmax(scores)
+        R, t = Rs[b], ts[b]
+
+        # geometric polish (see _gn_polish): IRLS over ALL valid matches
+        # (the hypothesis supplies only the START — its inlier set is
+        # noise-contaminated enough to drag GN away from gt even from a
+        # near-gt start; measured), Huber scale = the RANSAC threshold
+        w = match_valid.astype(jnp.float32)
+        R, t = _gn_polish(R, t, kpn_cur, kpn_ref, w, jnp.float32(thresh))
+        # robust (Huber-rho) Sampson cost over ALL valid matches — the
+        # candidate selector; truncate at 3*sigma so gross outliers do not
+        # swamp the comparison
+        r = jnp.abs(_signed_sampson(_skew(t) @ R, kpn_cur, kpn_ref))
+        sig = thresh
+        rho = jnp.where(r < sig, 0.5 * r ** 2 / sig,
+                        jnp.minimum(r, 3.0 * sig) - 0.5 * sig)
+        cost = jnp.sum(jnp.where(match_valid, rho, 0.0))
+        return R, t, cost
+
+    Rk, tk, costk = jax.vmap(lambda i: polish_one(Es[i], inl[i]))(top)
+    b = jnp.argmin(costk)
+    R, t = Rk[b], tk[b]
+    E = _skew(t) @ R
+    d2p = _sampson(E, kpn_cur, kpn_ref)
+    inlier_mask = (d2p < thresh ** 2) & match_valid
 
     Trc = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
-    return Trc, inlier_mask, counts[best]
+    return Trc, inlier_mask, jnp.sum(inlier_mask)

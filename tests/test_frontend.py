@@ -82,6 +82,37 @@ class TestEpipolar:
         assert cos > 0.999, f"translation direction cos {cos}"
         assert int(n) > 150
 
+    def test_small_baseline_noisy(self):
+        """SLAM-bootstrap regime: ~1 deg rotation, 3 cm baseline at 2-4 m
+        depth, 0.5 px keypoint noise (fx 600). The algebraic 8-point refit
+        alone is biased tens of degrees in t here; the Sampson GN polish
+        must bring the direction within ~8 deg (cv2 recoverPose ballpark)."""
+        rng = np.random.default_rng(5)
+        n, fx = 200, 600.0
+        pts = rng.uniform([-2, -1.2, 1.5], [2, 1.2, 4.0], size=(n, 3))
+        R_rc = rotz(0.0)
+        cr, sr = np.cos(0.02), np.sin(0.02)
+        R_rc = np.array([[cr, 0, sr], [0, 1, 0], [-sr, 0, cr]])  # 1.15 deg
+        t_rc = np.array([0.03, 0.004, 0.002])
+        x_cur = (pts - t_rc) @ R_rc
+        kpn_ref = pts[:, :2] / pts[:, 2:3]
+        kpn_cur = x_cur[:, :2] / x_cur[:, 2:3]
+        kpn_ref = kpn_ref + rng.normal(0, 0.5 / fx, kpn_ref.shape)
+        kpn_cur = kpn_cur + rng.normal(0, 0.5 / fx, kpn_cur.shape)
+        valid = jnp.ones((n,), bool)
+        Trc, _, n_inl = estimate_relative_pose_ransac(
+            jnp.asarray(kpn_ref, jnp.float32),
+            jnp.asarray(kpn_cur, jnp.float32), valid,
+            jax.random.PRNGKey(2), thresh=1.0 / fx)
+        Trc = np.asarray(Trc)
+        t_u = t_rc / np.linalg.norm(t_rc)
+        ang_t = np.degrees(np.arccos(np.clip(abs(Trc[:3, 3] @ t_u), -1, 1)))
+        dR = Trc[:3, :3].T @ R_rc
+        ang_R = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang_R < 0.2, f"rotation error {ang_R} deg"
+        assert ang_t < 8.0, f"translation direction error {ang_t} deg"
+        assert int(n_inl) > 120
+
     def test_robust_to_outliers(self):
         kpn_ref, kpn_cur, Trc_gt, _, _ = make_two_view(n=300)
         rng = np.random.default_rng(3)
