@@ -85,7 +85,10 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
     # pair per iteration instead of 3 render/regulation boundaries
     from ..ops.fused_vg import make_fused_vg, supports_fused_vg
     from ..ops.megakernel import make_fused_render, supports_megakernel
+    # the beyond-surface sharpness term needs per-sample weights/z_vals,
+    # which the fused kernels do not expose yet -> pure XLA mapping path
     use_mega = (ecfg.megakernel != "off" and not nice
+                and ecfg.w_beyond_loss == 0.0
                 and supports_megakernel(model_cfg, rcfg)
                 and (ecfg.megakernel == "on"
                      or jax.default_backend() == "tpu"))
@@ -172,6 +175,7 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         ray_w = ray_w * (max_frames / jnp.maximum(n_valid_frames, 1))
 
         k_render, k_reg = jax.random.split(keys[-1])
+        weights = z_vals = None
         if use_mega:
             # identical draws to the XLA regulation path: stratified_zvals
             # consumes uniform(k_reg, (N, N_samples)) (core/sampling.py:54)
@@ -180,11 +184,39 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
             depth, var, color, sigma = fused_render(
                 params, rays_o, rays_d, gt_d, t_reg, bound)
         else:
-            depth, var, color, _ = render_rays(
+            depth, var, color, weights, z_vals, sig_samples = render_rays(
                 params, model_cfg, rcfg, rays_o, rays_d, bound, k_render,
-                gt_d, c_grid=c_grid, stage=stage)
+                gt_d, c_grid=c_grid, stage=stage, with_zvals=True)
         depth_mask = (gt_d > 0).astype(jnp.float32) * ray_w
         loss = jnp.sum(jnp.abs(gt_d - depth) * depth_mask)
+        if ecfg.w_beyond_loss > 0:
+            # beyond-surface weight-mass penalty — a DEVIATION from the
+            # reference loss (PARITY.md #25): the reference's L1-of-mean
+            # admits a degenerate partially-opaque optimum (surface spike
+            # + leftover transmittance parked on the far 1e10-sentinel
+            # sample, spike shifted so the MEAN still equals gt). It fits
+            # the training view exactly yet mis-renders under any
+            # viewpoint shift, freezing the tracker. Penalizing the
+            # compositing mass past 1.05*gt forces the ray to terminate
+            # at the observed surface; occluded geometry is untouched
+            # (weights, not densities, are penalized). A sqrt(Var[z])
+            # penalty was tried first and has its own trivial optimum
+            # (ALL mass on the sentinel: var=0) — this one penalizes
+            # exactly that mass. Default 0.0 = exact reference loss.
+            # absolute margin: a relative band (1.05*gt, the reference's
+            # N_surface convention) grows to ~20 cm at far walls and lets
+            # the out-of-AABB sentinel backstop escape the penalty there
+            past = (z_vals > gt_d[:, None] + 0.05).astype(jnp.float32)
+            beyond = jnp.sum(weights * past, axis=-1)
+            loss = loss + ecfg.w_beyond_loss * jnp.sum(beyond * depth_mask)
+            # companion term at the reference's regulation scale: positive
+            # density past the surface (same samples the render already
+            # evaluated, so no extra decoder pass). This is the LIVE
+            # gradient path to the far-sentinel mass — its weight is
+            # alpha-saturated (d alpha/d sigma ~ exp(-1e10 sigma) = 0),
+            # so only driving sigma itself <= 0 releases that mass.
+            loss = loss + 0.0005 * jnp.sum(
+                jax.nn.relu(sig_samples) * past * depth_mask[:, None])
         if color_in_loss:
             color_loss = jnp.sum(jnp.abs(gt_c - color).sum(-1) * ray_w)
             loss = loss + ecfg.w_color_loss_m * color_loss

@@ -46,6 +46,8 @@ class EngineConfig:
     mapping_pixels: int = 5000
     mapping_window_size: int = 5
     w_color_loss_m: float = 0.05
+    # beyond-surface weight-mass penalty (PARITY.md #25); 0 = reference loss
+    w_beyond_loss: float = 0.0
     imap_decoders_lr: float = 2e-4
     BA: bool = False
     BA_cam_lr: float = 2e-4
@@ -86,6 +88,7 @@ class EngineConfig:
             mapping_pixels=m["pixels"],
             mapping_window_size=m["mapping_window_size"],
             w_color_loss_m=m["w_color_loss"],
+            w_beyond_loss=m.get("w_beyond_loss", 0.0),
             imap_decoders_lr=m["imap_decoders_lr"], BA=m["BA"],
             BA_cam_lr=m["BA_cam_lr"], keyframe_every=m["keyframe_every"],
             every_frame=m["every_frame"],

@@ -129,6 +129,8 @@ class PointNeRFSLAM:
                                            self.fy, self.cx, self.cy)
         self._pose_init_override = None
         self._pending_pose = None  # (idx, device cam7) deferred track pose
+        self._frame_dev = None  # (idx, color_f32, depth_f32, color_u8) dev
+        self._decode_frame = None
         self._bootstrapped = not self.ecfg.weak_depth or self.ecfg.gt_camera
         self.pseudo_depths = {}  # frame idx -> device (H, W) pseudo depth
         self.logger = None
@@ -187,6 +189,40 @@ class PointNeRFSLAM:
         return to_homogeneous_np(camera_from_tensor_np(
             np.asarray(cam7, np.float32))).astype(np.float32)
 
+    def _upload_frame(self, idx: int, color, sensor_depth):
+        """ONE quantized host->device transfer per frame (PARITY.md #24).
+
+        The reference keeps frames f32 on a local PCIe GPU; here every
+        tensor crosses the axon tunnel, and the f32 design re-uploaded the
+        same frame up to 3x (tracker, mapper, keyframe insert). Uploads u8
+        color (the keyframe buffer's storage format) + u16 depth
+        (step = depth_max/65535 ~ 0.06 mm at room scale — the same
+        quantization Replica/ScanNet/TUM accept at the PNG file layer,
+        src/utils/datasets.py:113-120) and decodes to f32 on device.
+        Invalid depth (exactly 0) survives quantization exactly.
+
+        Returns (color_f32_dev, depth_f32_dev, color_u8_dev); repeated
+        calls for the same idx return the cached device arrays."""
+        cached = getattr(self, "_frame_dev", None)
+        if cached is not None and cached[0] == idx:
+            return cached[1], cached[2], cached[3]
+        color_u8 = np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8)
+        d = np.asarray(sensor_depth, np.float32)
+        dmax = float(d.max())
+        q = dmax / 65535.0 if dmax > 0 else 1.0
+        d_u16 = np.round(d / q).astype(np.uint16)
+        if self._decode_frame is None:
+            @jax.jit
+            def _decode(c_u8, d_u16, q):
+                return (c_u8.astype(jnp.float32) / 255.0,
+                        d_u16.astype(jnp.float32) * q)
+            self._decode_frame = _decode
+        u8_dev = jnp.asarray(color_u8)
+        c_dev, d_dev = self._decode_frame(u8_dev, jnp.asarray(d_u16),
+                                          jnp.float32(q))
+        self._frame_dev = (idx, c_dev, d_dev, u8_dev)
+        return c_dev, d_dev, u8_dev
+
     def _supervising_depth(self, idx: int, sensor_depth):
         if self.ecfg.weak_depth:
             if idx in self.pseudo_depths:
@@ -197,6 +233,9 @@ class PointNeRFSLAM:
             if self.pseudo_depths:
                 return self.pseudo_depths[max(self.pseudo_depths)]
             return jnp.zeros((self.H, self.W), jnp.float32)
+        cached = getattr(self, "_frame_dev", None)
+        if cached is not None and cached[0] == idx:
+            return cached[2]
         return jnp.asarray(sensor_depth)
 
     # -- mapping ----------------------------------------------------------
@@ -339,8 +378,7 @@ class PointNeRFSLAM:
             # these paths build host-side rays from the current pose
             self._commit_pending_pose()
         cur_cam = self._cam7_current(idx)
-        cur_color_u8 = jnp.asarray(
-            np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8))
+        _, _, cur_color_u8 = self._upload_frame(idx, color, sensor_depth)
         cur_depth = self._supervising_depth(idx, sensor_depth)
         grid_masks = (self._frustum_masks(idx, cur_depth)
                       if self._use_grid_masks else None)
@@ -429,9 +467,10 @@ class PointNeRFSLAM:
         else:
             init = self.estimate_c2w_list[idx - 1]
         cam0 = self._cam7(init)
+        color_dev, _, _ = self._upload_frame(idx, color, sensor_depth)
         depth_sup = self._supervising_depth(idx, sensor_depth)
         best_cam, best_loss, first_loss = self.tracking_step(
-            self.params, self.c_grid, cam0, jnp.asarray(color), depth_sup,
+            self.params, self.c_grid, cam0, color_dev, depth_sup,
             self.bound, self._next_key())
         self.loss_log["tracking"].append((idx, first_loss, best_loss))
         if (defer_commit and not self.verbose
@@ -474,10 +513,10 @@ class PointNeRFSLAM:
                 or (e.weak_depth and idx % e.every_frame == 0))
         if not want or idx in self.keyframes.frame_idx:
             return
-        color_u8 = np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8)
+        _, depth_dev, color_u8 = self._upload_frame(idx, color, sensor_depth)
         pseudo = self.pseudo_depths.get(idx)
         self.keyframes.insert(
-            idx, color_u8, jnp.asarray(sensor_depth),
+            idx, color_u8, depth_dev,
             self._cam7_current(idx), self._cam7(gt_c2w),
             pseudo_depth=pseudo)
 

@@ -48,9 +48,19 @@ class SyntheticScene:
         return t, pts, box_hit & (t_near <= t_room)
 
     def color(self, pts: np.ndarray, box_mask: np.ndarray) -> np.ndarray:
-        """Smooth procedural texture in [0, 1] with a mid-frequency detail
-        component (gives corner detectors something to latch onto while
-        keeping photometric gradients smooth)."""
+        """Procedural texture in [0, 1]: a smooth low-frequency base plus a
+        SHARP 3-D-anchored cell pattern (v2).
+
+        The v1 texture was purely smooth sinusoids (finest ~16 rad/m =
+        ~120 px/cycle at 2 m, fx 600). Harris/SuperPoint extrema of a smooth
+        texture are image-space artifacts that DRIFT on the surface as the
+        perspective changes, so two-view correspondences carried ~0.5 px of
+        effective localization noise — measured to break the small-baseline
+        essential-matrix translation estimate (t 80-120 deg off) and starve
+        the color tracking loss. Real benchmark scenes (Replica) have sharp
+        texture; v2 adds step edges anchored to fixed 3-D cell boundaries
+        (per-cell hashed brightness, ~8 cm cells = ~25 px at 2 m) whose
+        corners are view-invariant 3-D points."""
         p = pts
         base = 0.5 + 0.5 * np.stack([
             np.sin(1.7 * p[..., 0] + 0.9 * p[..., 1]),
@@ -59,14 +69,22 @@ class SyntheticScene:
         ], axis=-1)
         detail = (np.sin(7.3 * p[..., 0] + 0.5) * np.sin(8.1 * p[..., 1] + 1.2)
                   * np.sin(6.7 * p[..., 2] + 2.1))
-        detail2 = (np.sin(14.9 * p[..., 0] + 2.7)
-                   * np.sin(16.3 * p[..., 1] + 0.4)
-                   * np.sin(13.1 * p[..., 2] + 5.0))
-        base = np.clip(base * (0.8 + 0.28 * detail[..., None]
-                               + 0.12 * detail2[..., None]), 0.0, 1.0)
+        base = np.clip(base * (0.85 + 0.25 * detail[..., None]), 0.0, 1.0)
+        # sharp component: hashed-brightness 3-D cells (two incommensurate
+        # scales so corner spacing is irregular); cheap integer-lattice hash
+        def cells(freq, seed):
+            c = np.floor(p * freq)
+            h = np.sin(c[..., 0] * 12.9898 + c[..., 1] * 78.233
+                       + c[..., 2] * 37.719 + seed) * 43758.5453
+            return h - np.floor(h)  # uniform-ish in [0, 1)
+        sharp = 0.65 * cells(12.0, 0.0) + 0.35 * cells(4.7, 9.1)
+        tex = base * (0.70 + 0.45 * sharp[..., None])
+        tex = np.clip(tex, 0.0, 1.0)
         box_tint = np.array([0.9, 0.4, 0.2])
-        return np.where(box_mask[..., None], 0.3 * base + 0.7 * box_tint,
-                        base).astype(np.float32)
+        return np.where(box_mask[..., None],
+                        np.clip(0.3 * tex + 0.7 * box_tint
+                                * (0.75 + 0.4 * sharp[..., None]), 0, 1),
+                        tex).astype(np.float32)
 
 
 def _lookat_c2w(eye, target, up=(0.0, 0.0, 1.0)):
@@ -100,6 +118,37 @@ class SyntheticDataset:
         self.scene = SyntheticScene()
         self.poses = self._trajectory()
         self.input_folder = cfg["data"].get("input_folder", "")
+        # on-disk frame cache (data.frame_cache_dir): the analytic ray cast
+        # over H*W pixels is host numpy work (~1-2 s/frame at Replica
+        # resolution) repeated on every run/restart of the same spec; real
+        # datasets read PNGs instead. Cache key = everything the rendered
+        # images depend on, so different specs never collide.
+        self.cache_dir = cfg["data"].get("frame_cache_dir", "")
+
+    def _cache_key(self) -> str:
+        import hashlib
+        s = self.scene
+        spec = ("v2", self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+                self.n_img, self.orbit, s.room_half, tuple(s.box_lo),
+                tuple(s.box_hi))
+        return hashlib.sha1(repr(spec).encode()).hexdigest()[:16]
+
+    def _render_cached(self, index: int, c2w_unscaled: np.ndarray):
+        if not self.cache_dir:
+            return self.render_frame(c2w_unscaled)
+        import os
+        d = os.path.join(self.cache_dir, self._cache_key())
+        path = os.path.join(d, f"{index:05d}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["color"], z["depth"]
+        color, depth = self.render_frame(c2w_unscaled)
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, color=color.astype(np.float32),
+                 depth=depth.astype(np.float32))
+        os.replace(tmp, path)
+        return color.astype(np.float32), depth.astype(np.float32)
 
     def _trajectory(self):
         poses = []
@@ -136,7 +185,7 @@ class SyntheticDataset:
         c2w = self.poses[index].copy()
         c2w_unscaled = c2w.copy()
         c2w_unscaled[:3, 3] /= self.scale
-        color, depth = self.render_frame(c2w_unscaled)
+        color, depth = self._render_cached(index, c2w_unscaled)
         depth = depth * self.scale
         if self.noise_depth > 0:
             rng = np.random.default_rng(self.seed + index)

@@ -78,15 +78,20 @@ def eval_points(params, model_cfg, pts: jnp.ndarray, bound: jnp.ndarray,
 def render_rays(params, model_cfg, rcfg: RenderConfig, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, bound: jnp.ndarray, key,
                 gt_depth: Optional[jnp.ndarray] = None,
-                c_grid: Optional[dict] = None, stage: str = "color"):
+                c_grid: Optional[dict] = None, stage: str = "color",
+                with_zvals: bool = False):
     """Render a batch of rays.
 
     Args:
       rays_o, rays_d: (N, 3).
       gt_depth: optional (N,) depth prior for near/far + surface sampling.
       key: PRNG key (needed when perturb > 0 or N_importance with perturb).
+      with_zvals: additionally return the final per-sample z_vals (N, S)
+        and raw densities (N, S) (the mapper's beyond-surface penalty,
+        PARITY.md #25, needs them alongside the weights).
     Returns:
-      depth (N,), depth_var (N,), color (N, 3), weights (N, S).
+      depth (N,), depth_var (N,), color (N, 3), weights (N, S)
+      [, z_vals (N, S), sigma (N, S) when with_zvals].
     """
     N_surface = rcfg.N_surface if gt_depth is not None else 0
 
@@ -139,6 +144,9 @@ def render_rays(params, model_cfg, rcfg: RenderConfig, rays_o: jnp.ndarray,
         depth, var, color, weights = raw2outputs(raw, z_vals, rays_d,
                                                  occupancy=rcfg.occupancy)
 
+    if with_zvals:
+        raw_last = raw if rcfg.N_importance > 0 else raw1
+        return depth, var, color, weights, z_vals, raw_last[..., 3]
     return depth, var, color, weights
 
 

@@ -13,7 +13,7 @@
 #   eval_metrics.txt           ATE RMSE + 3D acc/comp + 2D depth-L1
 set -e
 cd "$(dirname "$0")/.."
-OUT=output/Synthetic/room_bench
+OUT=${1:-output/Synthetic/room_bench}
 # prefer the eval_rec variant (all-frames masks, reference Mapper.py:925-929)
 if [ -f $OUT/mesh/final_mesh_eval_rec.ply ]; then
   REC=$OUT/mesh/final_mesh_eval_rec.ply

@@ -94,6 +94,115 @@ class TestSyntheticDataset:
         assert np.all(np.abs(p) <= 2.0 + 1e-5)
 
 
+class TestFrameCacheAndUpload:
+    def test_synthetic_frame_cache_bit_identical(self, tmp_path):
+        """First access renders + saves; a fresh reader with the same spec
+        loads the SAME f32 arrays from disk (no re-render)."""
+        cfg = tiny_cfg(data={"frame_cache_dir": str(tmp_path)})
+        ds1 = get_dataset(cfg)
+        _, c1, d1, _ = ds1[2]
+        ds2 = get_dataset(cfg)
+        ds2.render_frame = lambda *a: (_ for _ in ()).throw(
+            AssertionError("cache miss: render_frame called"))
+        _, c2, d2, _ = ds2[2]
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_synthetic_cache_key_separates_specs(self, tmp_path):
+        cfg_a = tiny_cfg(data={"frame_cache_dir": str(tmp_path)})
+        cfg_b = tiny_cfg(data={"frame_cache_dir": str(tmp_path),
+                               "orbit": 0.9})
+        assert get_dataset(cfg_a)._cache_key() \
+            != get_dataset(cfg_b)._cache_key()
+
+    def test_upload_frame_quantization_and_caching(self):
+        """One quantized H2D upload per frame: u8 color matches the
+        keyframe-buffer convention, u16 depth round-trips within half a
+        quantization step, invalid (0) depth stays exactly 0, and repeated
+        calls for the same idx return the cached device arrays."""
+        slam = PointNeRFSLAM(tiny_cfg())
+        _, color, depth, _ = slam.frame_reader[0]
+        c, d, u8 = slam._upload_frame(0, color, depth)
+        np.testing.assert_array_equal(
+            np.asarray(u8), np.clip(color * 255, 0, 255).astype(np.uint8))
+        np.testing.assert_allclose(np.asarray(c),
+                                   np.asarray(u8) / 255.0, atol=1e-6)
+        q = float(depth.max()) / 65535.0
+        assert float(np.abs(np.asarray(d) - depth).max()) <= 0.51 * q
+        z = depth.copy()
+        z[5:9, 7:11] = 0.0
+        _, dz, _ = slam._upload_frame(1, color, z)
+        assert float(np.abs(np.asarray(dz)[5:9, 7:11]).max()) == 0.0
+        c2, d2, _ = slam._upload_frame(1, color, z)
+        _, d2b, _ = slam._upload_frame(1, np.zeros_like(color),
+                                       np.zeros_like(z))  # args ignored
+        assert d2 is d2b and d2 is not None
+        sup = slam._supervising_depth(1, z)
+        assert sup is d2  # sensor path reuses the cached device depth
+
+
+class TestBeyondSurfacePenalty:
+    def test_mapper_step_with_beyond_loss(self):
+        """mapping.w_beyond_loss > 0 (PARITY #25): the step must route to
+        the XLA path (weights/z_vals needed), run, and optimize."""
+        import jax
+        import jax.numpy as jnp
+        from pointnerf_slam_tpu.engine.mapper import make_mapper_step
+        from pointnerf_slam_tpu.engine.state import EngineConfig
+        from pointnerf_slam_tpu.models import MLPConfig, init_mlp
+        from pointnerf_slam_tpu.render import RenderConfig
+
+        H, W, F = 24, 32, 2
+        mcfg = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=32,
+                         skips=(), n_blocks=2)
+        rcfg = RenderConfig(N_samples=12, N_surface=0, N_importance=4)
+        bound = jnp.array([[-4.0, 4.0], [-4.0, 4.0], [-4.0, 4.0]])
+        key = jax.random.PRNGKey(5)
+        params = init_mlp(jax.random.PRNGKey(0), mcfg)
+        colors = (jax.random.uniform(key, (F, H, W, 3)) * 255).astype(
+            jnp.uint8)
+        depths = jax.random.uniform(key, (F, H, W), minval=0.5, maxval=2.5)
+        cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 1.5]), (F, 1))
+        ecfg = EngineConfig(H=H, W=W, fx=20.0, fy=20.0, cx=15.5, cy=11.5,
+                            mapping_pixels=128, weak_depth=False,
+                            depth_supervision=True, megakernel="on",
+                            w_beyond_loss=1.0)
+        step = make_mapper_step(mcfg, rcfg, ecfg, F)
+        p2, _, _, ls = step(params, {}, colors, depths, cams,
+                            jnp.ones((F,), bool), jnp.zeros((F,), bool),
+                            bound, jax.random.PRNGKey(7), 3)
+        assert np.all(np.isfinite(np.asarray(ls)))
+        moved = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.abs(x).sum()),
+            jax.tree_util.tree_map(lambda a, b: a - b, p2, params), 0.0)
+        assert moved > 0.0
+
+    def test_render_rays_with_zvals(self):
+        import jax
+        import jax.numpy as jnp
+        from pointnerf_slam_tpu.models import MLPConfig, init_mlp
+        from pointnerf_slam_tpu.render import RenderConfig
+        from pointnerf_slam_tpu.render.renderer import render_rays
+
+        mcfg = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=32,
+                         skips=(), n_blocks=2)
+        rcfg = RenderConfig(N_samples=12, N_surface=0, N_importance=4)
+        bound = jnp.array([[-4.0, 4.0], [-4.0, 4.0], [-4.0, 4.0]])
+        params = init_mlp(jax.random.PRNGKey(0), mcfg)
+        ro = jnp.zeros((16, 3))
+        rd = jnp.concatenate([jnp.zeros((16, 2)), -jnp.ones((16, 1))], -1)
+        gt = jnp.full((16,), 2.0)
+        out = render_rays(params, mcfg, rcfg, ro, rd, bound,
+                          jax.random.PRNGKey(1), gt, with_zvals=True)
+        assert len(out) == 6
+        dep, var, col, w, z, sig = out
+        assert z.shape == w.shape == sig.shape == (16, 16)
+        assert np.all(np.diff(np.asarray(z), axis=-1) >= 0)  # sorted
+        out4 = render_rays(params, mcfg, rcfg, ro, rd, bound,
+                           jax.random.PRNGKey(1), gt)
+        assert len(out4) == 4
+
+
 class TestKeyframeBuffer:
     def test_insert_and_gather(self):
         buf = KeyframeBuffer(4, 8, 10)
