@@ -19,15 +19,47 @@ import numpy as np
 
 @dataclasses.dataclass
 class SyntheticScene:
+    """Analytic furnished room (v3).
+
+    v1/v2 had ONE interior box; render-based tracking on that scene was
+    structurally starved (measured, scripts/_tpu_loss_landscape.py): under
+    the orbit's look-at motion, rotation flow cancels the translation flow
+    at the target depth and the near-empty room offers almost no depth
+    parallax — frame-1 data fit the frame-0 pose better than its own gt
+    pose, for BOTH the depth and color tracking losses. Replica rooms (the
+    reference's benchmark, src/utils/datasets.py Replica reader) are
+    furnished — occlusion edges and depth structure everywhere. v3 adds
+    wall cabinets, a central table, a full-height pillar and floor crates
+    so tangential motion produces depth parallax across the image."""
+
     room_half: float = 2.0                 # room is [-h, h]^3
-    box_lo: tuple = (-0.6, -2.0, -0.7)     # interior box AABB
-    box_hi: tuple = (0.4, -0.8, 0.3)
+    # interior furniture AABBs (lo, hi); the first is the original v1 box.
+    # None intersects the camera path (orbit radius 1.02-1.38, z 0.25-0.45).
+    boxes: tuple = (
+        ((-0.6, -2.0, -0.7), (0.4, -0.8, 0.3)),      # sofa, -y wall
+        ((-0.4, 0.15, -2.0), (0.3, 0.75, -0.7)),     # central table
+        ((1.55, -0.5, -2.0), (2.0, 0.6, 0.9)),       # cabinet, +x wall
+        ((-1.1, 1.6, -2.0), (-0.2, 2.0, 1.2)),       # shelf, +y wall
+        ((-2.0, -0.9, -2.0), (-1.5, -0.1, -0.9)),    # crate, -x wall
+        ((1.4, 1.4, -2.0), (1.8, 1.8, 2.0)),         # corner pillar
+        ((0.55, 0.35, -2.0), (0.95, 0.75, -1.55)),   # floor crate
+    )
+
+    # first-box aliases: the v1 single-box API, still used by tests/tools
+    @property
+    def box_lo(self) -> tuple:
+        return self.boxes[0][0]
+
+    @property
+    def box_hi(self) -> tuple:
+        return self.boxes[0][1]
 
     def ray_cast(self, rays_o: np.ndarray, rays_d: np.ndarray):
         """Nearest-hit parameter t and hit points for (N, 3) rays.
 
-        The room is hit from inside (exit of its AABB); the box from outside
-        (entry of its AABB). Returns (t, points, hit_box_mask)."""
+        The room is hit from inside (exit of its AABB); each furniture box
+        from outside (entry of its AABB). Returns (t, points, hit_box_mask)
+        where the mask marks rays whose nearest hit is furniture."""
         o, d = rays_o, rays_d
         d = np.where(np.abs(d) < 1e-12, 1e-12, d)
 
@@ -36,16 +68,18 @@ class SyntheticScene:
             (np.array([[-h, h]]) - o[..., None]) / d[..., None], axis=-1),
             axis=-1)
 
-        lo = np.asarray(self.box_lo)
-        hi = np.asarray(self.box_hi)
-        t1 = (lo - o) / d
-        t2 = (hi - o) / d
-        t_near = np.max(np.minimum(t1, t2), axis=-1)
-        t_far = np.min(np.maximum(t1, t2), axis=-1)
-        box_hit = (t_near <= t_far) & (t_near > 1e-6)
-        t = np.where(box_hit, np.minimum(t_near, t_room), t_room)
+        t = t_room
+        box_hit_any = np.zeros(t.shape, bool)
+        for lo, hi in self.boxes:
+            t1 = (np.asarray(lo) - o) / d
+            t2 = (np.asarray(hi) - o) / d
+            t_near = np.max(np.minimum(t1, t2), axis=-1)
+            t_far = np.min(np.maximum(t1, t2), axis=-1)
+            hit = (t_near <= t_far) & (t_near > 1e-6) & (t_near < t)
+            t = np.where(hit, t_near, t)
+            box_hit_any |= hit
         pts = o + d * t[..., None]
-        return t, pts, box_hit & (t_near <= t_room)
+        return t, pts, box_hit_any
 
     def color(self, pts: np.ndarray, box_mask: np.ndarray) -> np.ndarray:
         """Procedural texture in [0, 1]: a smooth low-frequency base plus a
@@ -128,9 +162,8 @@ class SyntheticDataset:
     def _cache_key(self) -> str:
         import hashlib
         s = self.scene
-        spec = ("v2", self.H, self.W, self.fx, self.fy, self.cx, self.cy,
-                self.n_img, self.orbit, s.room_half, tuple(s.box_lo),
-                tuple(s.box_hi))
+        spec = ("v3", self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+                self.n_img, self.orbit, s.room_half, s.boxes)
         return hashlib.sha1(repr(spec).encode()).hexdigest()[:16]
 
     def _render_cached(self, index: int, c2w_unscaled: np.ndarray):
@@ -155,8 +188,15 @@ class SyntheticDataset:
         n = self.n_img
         for i in range(n):
             a = 2 * np.pi * i / max(n, 1) * self.orbit
-            eye = (1.2 * np.cos(a), 1.2 * np.sin(a), 0.35 + 0.1 * np.sin(2 * a))
-            target = (0.4 * np.cos(a + 2.3), 0.4 * np.sin(a + 2.3), 0.0)
+            # breathing orbit (v3): the radial term adds camera motion ALONG
+            # view depth — pure look-at orbits are the degenerate case where
+            # rotation flow cancels translation flow at the target depth and
+            # the depth tracking loss has no signal; handheld benchmark
+            # trajectories (Replica/TUM) always carry a depth component
+            r = 1.2 + 0.18 * np.sin(3 * a)
+            eye = (r * np.cos(a), r * np.sin(a), 0.35 + 0.1 * np.sin(2 * a))
+            target = (0.4 * np.cos(a + 2.3), 0.4 * np.sin(a + 2.3),
+                      0.1 * np.sin(a + 0.7))
             c2w = _lookat_c2w(eye, target)
             c2w[:3, 3] *= self.scale
             poses.append(c2w.astype(np.float32))

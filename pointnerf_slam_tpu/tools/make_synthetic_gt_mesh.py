@@ -28,14 +28,16 @@ from ..outputs.mesher import marching_tets, write_ply
 
 
 def solid_field(scene: SyntheticScene, pts: np.ndarray) -> np.ndarray:
-    """Signed 'inside-solid' value: positive inside walls or the box,
-    negative in free (air) space; zero level = the visible surface."""
+    """Signed 'inside-solid' value: positive inside walls or any furniture
+    box, negative in free (air) space; zero level = the visible surface."""
     h = scene.room_half
     wall = np.max(np.abs(pts), axis=-1) - h            # >0 outside room
-    lo = np.asarray(scene.box_lo)
-    hi = np.asarray(scene.box_hi)
-    box = np.max(np.maximum(lo - pts, pts - hi), axis=-1)  # <0 inside box
-    return np.maximum(wall, -box)
+    out = wall
+    for lo, hi in scene.boxes:
+        box = np.max(np.maximum(np.asarray(lo) - pts,
+                                pts - np.asarray(hi)), axis=-1)  # <0 inside
+        out = np.maximum(out, -box)
+    return out
 
 
 def make_gt_mesh(resolution: int = 256, pad: float = 0.15):
@@ -53,10 +55,11 @@ def make_gt_mesh(resolution: int = 256, pad: float = 0.15):
     verts = verts_idx * step - h
 
     # color: evaluate the scene texture at each vertex; the box tint marks
-    # vertices on the interior box (within a half-cell of its AABB)
-    lo = np.asarray(scene.box_lo) - step
-    hi = np.asarray(scene.box_hi) + step
-    on_box = np.all((verts >= lo) & (verts <= hi), axis=-1)
+    # vertices on any furniture box (within a half-cell of its AABB)
+    on_box = np.zeros(len(verts), bool)
+    for lo, hi in scene.boxes:
+        on_box |= np.all((verts >= np.asarray(lo) - step)
+                         & (verts <= np.asarray(hi) + step), axis=-1)
     colors = np.clip(scene.color(verts, on_box) * 255, 0,
                      255).astype(np.uint8)
     return verts.astype(np.float32), tris, colors

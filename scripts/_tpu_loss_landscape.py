@@ -30,6 +30,8 @@ cfg["data"]["n_frames"] = N
 cfg["data"]["orbit"] = 0.5 * N / 500.0   # true ~7.5 mm/frame speed
 cfg["data"]["output"] = "/tmp/diag_ll"
 cfg["mapping"]["iters_first"] = int(os.environ.get("ITERS_FIRST", "1500"))
+if os.environ.get("PROBE_BEYOND"):           # w_beyond_loss sharpness penalty
+    cfg["mapping"]["w_beyond_loss"] = float(os.environ["PROBE_BEYOND"])
 slam = PointNeRFSLAM(cfg)
 
 _, c0, d0, p0 = slam.frame_reader[0]
@@ -65,23 +67,32 @@ def loss_at(cam_tensor, key):
                                    c_grid=slam.c_grid, stage="color")
     var = jax.lax.stop_gradient(var)
     mask = (gt_d > 0).astype(jnp.float32)
-    dloss = jnp.sum(jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10) * mask)
+    tmp = jnp.abs(gt_d - dep) / jnp.sqrt(var + 1e-10)
+    dloss = jnp.sum(tmp * mask)
     closs = jnp.sum(jnp.abs(gt_c - col).sum(-1) * mask)
-    return dloss, closs
+    # handle_dynamic variant (reference Tracker.py:307, nice_slam True):
+    # mask rays whose weighted depth error exceeds 10x the median —
+    # rejects disocclusion/untrained-region outliers
+    rmask = ((tmp < 10 * jnp.median(tmp)) & (gt_d > 0)).astype(jnp.float32)
+    rd = jnp.sum(tmp * rmask)
+    rc = jnp.sum(jnp.abs(gt_c - col).sum(-1) * rmask)
+    return dloss, closs, rd, rc
 
 
 cam0 = slam._cam7(p0)          # init (= frame-0 pose)
 cam1 = slam._cam7(np.asarray(p1))  # gt frame-1 pose
 keys = [jax.random.PRNGKey(100 + i) for i in range(8)]
 
-print(" t      depth_loss     color_loss   (t=0 init, t=1 gt)", flush=True)
+print(" t      depth_loss     color_loss    robust_d      robust_c"
+      "   (t=0 init, t=1 gt)", flush=True)
 for t in (-1.0, -0.5, 0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0):
     cam = (1 - t) * cam0 + t * cam1
-    dl = cl = 0.0
+    dl = cl = rd = rc = 0.0
     for k in keys:
-        a, b = loss_at(jnp.asarray(cam), k)
-        dl += float(a); cl += float(b)
-    print(f"{t:5.2f}  {dl/len(keys):12.2f}  {cl/len(keys):12.2f}",
+        a, b, c, d = loss_at(jnp.asarray(cam), k)
+        dl += float(a); cl += float(b); rd += float(c); rc += float(d)
+    n = len(keys)
+    print(f"{t:5.2f}  {dl/n:12.2f}  {cl/n:12.2f}  {rd/n:12.2f}  {rc/n:12.2f}",
           flush=True)
 
 # gradient direction check at init: key-averaged d(loss)/d(cam) vs the
@@ -90,7 +101,7 @@ total = jnp.asarray(cam1) - jnp.asarray(cam0)
 
 
 def full_loss(cam, key):
-    a, b = loss_at(cam, key)
+    a, b, _, _ = loss_at(cam, key)
     return a + e.w_color_loss_t * b
 
 

@@ -284,9 +284,12 @@ class TestEndToEndTracked:
 
         def smooth_eval(params, model_cfg, pts, bound, c_grid=None,
                         stage="color"):
-            lo = jnp.asarray(scene.box_lo)
-            hi = jnp.asarray(scene.box_hi)
-            box_sdf = jnp.max(jnp.maximum(lo - pts, pts - hi), -1)
+            # min over all furniture boxes (scene v3) = nearest-solid SDF
+            box_sdf = jnp.full(pts.shape[:-1], 1e9)
+            for lo, hi in scene.boxes:
+                sdf = jnp.max(jnp.maximum(jnp.asarray(lo) - pts,
+                                          pts - jnp.asarray(hi)), -1)
+                box_sdf = jnp.minimum(box_sdf, sdf)
             room_sdf = scene.room_half - jnp.max(jnp.abs(pts), -1)
             sigma = 60.0 * (jax.nn.sigmoid(-box_sdf * 40)
                             + jax.nn.sigmoid(-room_sdf * 40))

@@ -228,9 +228,11 @@ class TestAsyncMeshing:
 
         def analytic_eval(params, model_cfg, pts, bound, c_grid=None,
                           stage="color"):
-            lo = jnp.asarray(sc.box_lo)
-            hi = jnp.asarray(sc.box_hi)
-            box_sdf = jnp.max(jnp.maximum(lo - pts, pts - hi), -1)
+            box_sdf = jnp.full(pts.shape[:-1], 1e9)  # scene v3: all boxes
+            for lo, hi in sc.boxes:
+                sdf = jnp.max(jnp.maximum(jnp.asarray(lo) - pts,
+                                          pts - jnp.asarray(hi)), -1)
+                box_sdf = jnp.minimum(box_sdf, sdf)
             room_sdf = sc.room_half - jnp.max(jnp.abs(pts), -1)
             sigma = 60.0 * (jax.nn.sigmoid(-box_sdf * 40)
                             + jax.nn.sigmoid(-room_sdf * 40))
@@ -295,9 +297,11 @@ class TestMesherEndToEnd:
 
         def analytic_eval(params, model_cfg, pts, bound, c_grid=None,
                           stage="color"):
-            lo = jnp.asarray(sc.box_lo)
-            hi = jnp.asarray(sc.box_hi)
-            box_sdf = jnp.max(jnp.maximum(lo - pts, pts - hi), -1)
+            box_sdf = jnp.full(pts.shape[:-1], 1e9)  # scene v3: all boxes
+            for lo, hi in sc.boxes:
+                sdf = jnp.max(jnp.maximum(jnp.asarray(lo) - pts,
+                                          pts - jnp.asarray(hi)), -1)
+                box_sdf = jnp.minimum(box_sdf, sdf)
             room_sdf = sc.room_half - jnp.max(jnp.abs(pts), -1)
             sigma = 60.0 * (jax.nn.sigmoid(-box_sdf * 40)
                             + jax.nn.sigmoid(-room_sdf * 40))
@@ -317,12 +321,13 @@ class TestMesherEndToEnd:
         verts, tris, colors = out
         assert len(verts) > 500
         assert os.path.exists(tmp_path / "mesh.ply")
-        # vertices on real geometry: room walls (|max coord| ~ 2) or box
-        d_wall = np.abs(2.0 - np.abs(verts).max(axis=1))
-        lo = np.asarray(sc.box_lo)
-        hi = np.asarray(sc.box_hi)
-        d_box = np.abs(np.maximum(lo - verts, verts - hi).max(axis=1))
-        near = np.minimum(d_wall, d_box)
+        # vertices on real geometry: room walls (|max coord| ~ 2) or any
+        # furniture box (scene v3)
+        near = np.abs(2.0 - np.abs(verts).max(axis=1))
+        for lo, hi in sc.boxes:
+            d_box = np.abs(np.maximum(np.asarray(lo) - verts,
+                                      verts - np.asarray(hi)).max(axis=1))
+            near = np.minimum(near, d_box)
         assert float(np.median(near)) < 0.1, float(np.median(near))
         # the out-of-bound sentinel shell (at the enlarged bound) must have
         # been culled by the TSDF hull
