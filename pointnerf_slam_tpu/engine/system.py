@@ -688,6 +688,16 @@ class PointNeRFSLAM:
                                           idx + 1)
             else:
                 _, color, depth, gt_c2w = self.frame_reader[idx]
+            if (self.logger is not None and idx > 0
+                    and idx % self.ecfg.every_frame == 0):
+                # pre-bank BEFORE dispatching this frame's mapping: the
+                # axon runtime's crash mode surfaces at the first D2H pull
+                # AFTER a big mapping scan (PERF.md "axon runtime
+                # instability"), killing the post-step checkpoint too — so
+                # without this, a crashy period banks NOTHING and the
+                # supervisor loops at frame 0 forever. Everything up to
+                # idx-1 is consistent here; resume re-runs frame idx.
+                self.logger.log(self, idx - 1)
             self.step(idx, color, depth, gt_c2w)
             if self.logger is not None:
                 self.logger.maybe_log(self, idx)
