@@ -45,17 +45,31 @@ HC, WC = H_IMG // 8, W_IMG // 8
 # corpus
 # --------------------------------------------------------------------------
 
-def render_corpus(n_images: int, seed: int = 0) -> np.ndarray:
-    """(N, H, W) grayscale synthetic room renders from random in-room views."""
+def render_corpus(n_images: int, seed: int = 0,
+                  match_run_scale: bool = True) -> np.ndarray:
+    """(N, H', W') grayscale synthetic room renders from random in-room
+    views; training crops H_IMG x W_IMG windows from these.
+
+    match_run_scale=True renders at the LIVE pipeline's angular resolution
+    (fx/W = 600/1200, the room_bench camera) at half size (340x600,
+    fx=300 — same px-frequency statistics, 4x cheaper), so the distilled
+    net sees the texture scale the extractor meets at run time. The
+    original 100px-focal 120x160 full-frame corpus (match_run_scale=False)
+    trained on ~3x coarser texture — a domain gap that cost descriptor
+    precision (round-3 0.28 vs Harris 0.12 median triangulation error)."""
     from ..io.synthetic import SyntheticDataset
 
-    cfg = {"cam": {"H": H_IMG, "W": W_IMG, "fx": 100.0, "fy": 100.0,
-                   "cx": (W_IMG - 1) / 2, "cy": (H_IMG - 1) / 2,
+    if match_run_scale:
+        Hr, Wr, f = 340, 600, 300.0
+    else:
+        Hr, Wr, f = H_IMG, W_IMG, 100.0
+    cfg = {"cam": {"H": Hr, "W": Wr, "fx": f, "fy": f,
+                   "cx": (Wr - 1) / 2, "cy": (Hr - 1) / 2,
                    "crop_edge": 0},
            "data": {"n_frames": 2, "output": "/tmp/sp_corpus"}}
     ds = SyntheticDataset(cfg)
     rng = np.random.default_rng(seed)
-    out = np.empty((n_images, H_IMG, W_IMG), np.float32)
+    out = np.empty((n_images, Hr, Wr), np.float32)
     for i in range(n_images):
         eye = rng.uniform(-1.2, 1.2, 3)
         target = rng.uniform(-1.8, 1.8, 3)
@@ -66,6 +80,30 @@ def render_corpus(n_images: int, seed: int = 0) -> np.ndarray:
         color, _ = ds.render_frame(c2w)
         out[i] = np.asarray(color, np.float32).mean(-1)
     return out
+
+
+def crop_batch(corpus: np.ndarray, rng, batch: int) -> np.ndarray:
+    """(B, H_IMG, W_IMG) random windows; identity when corpus is full-frame."""
+    N, Hr, Wr = corpus.shape
+    if (Hr, Wr) == (H_IMG, W_IMG):
+        return corpus[rng.integers(0, N, batch)]
+    out = np.empty((batch, H_IMG, W_IMG), corpus.dtype)
+    for b in range(batch):
+        i = rng.integers(0, N)
+        y = rng.integers(0, Hr - H_IMG + 1)
+        x = rng.integers(0, Wr - W_IMG + 1)
+        out[b] = corpus[i, y:y + H_IMG, x:x + W_IMG]
+    return out
+
+
+def photometric_aug(imgs: np.ndarray, rng) -> np.ndarray:
+    """Per-image gain/bias + gaussian noise (descriptor lighting
+    invariance; the SuperPoint paper's photometric augmentation set)."""
+    gain = rng.uniform(0.7, 1.3, (len(imgs), 1, 1)).astype(np.float32)
+    bias = rng.uniform(-0.08, 0.08, (len(imgs), 1, 1)).astype(np.float32)
+    noise = rng.normal(0.0, rng.uniform(0.0, 0.02),
+                       imgs.shape).astype(np.float32)
+    return np.clip(imgs * gain + bias + noise, 0.0, 1.0)
 
 
 def sample_homography(rng, mag: float = 0.15) -> np.ndarray:
@@ -141,6 +179,10 @@ def _detector_ce(semi: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 def _descriptor_hinge(da: jnp.ndarray, db: jnp.ndarray, Hm: jnp.ndarray,
                       m_pos: float = 1.0, m_neg: float = 0.2,
                       lambda_d: float = 250.0) -> jnp.ndarray:
+    return _descriptor_hinge_impl(da, db, Hm, m_pos, m_neg, lambda_d)
+
+
+def _descriptor_hinge_impl(da, db, Hm, m_pos, m_neg, lambda_d):
     """da/db (256, Hc, Wc) L2-normalized coarse descriptors of the source
     image and its warp; Hm maps warp pixel -> source pixel."""
     j, i = jnp.meshgrid(jnp.arange(HC, dtype=jnp.float32) * 8 + 3.5,
@@ -164,13 +206,15 @@ def _descriptor_hinge(da: jnp.ndarray, db: jnp.ndarray, Hm: jnp.ndarray,
     return loss.mean()
 
 
-def make_loss_fn(lambda_desc: float = 1.0):
+def make_loss_fn(lambda_desc: float = 1.0, m_pos: float = 1.0,
+                 m_neg: float = 0.2, lambda_d: float = 250.0):
     """lambda_desc weights the descriptor hinge against the detector CE.
     The SuperPoint paper's lambda = 1e-4 balances a SUM over all
     (Hc*Wc)^2 cell pairs; _descriptor_hinge returns the MEAN, so the
     equivalent balance is O(1) — at 1e-4 the descriptor head trains ~4
     orders too slowly (measured: desc loss flat, 40% homography match
-    precision; at 1.0 it converges)."""
+    precision; at 1.0 it converges). m_pos/m_neg/lambda_d expose the
+    hinge margins for the distillation sweep."""
     def loss_fn(params, gray, warped, Hm, labels_a, labels_b):
         def fwd(g):
             # raw semi logits + normalized desc, pre-softmax (the training
@@ -203,7 +247,7 @@ def make_loss_fn(lambda_desc: float = 1.0):
         semi_a, da = fwd(gray)
         semi_b, db = fwd(warped)
         det = _detector_ce(semi_a, labels_a) + _detector_ce(semi_b, labels_b)
-        desc = _descriptor_hinge(da, db, Hm)
+        desc = _descriptor_hinge_impl(da, db, Hm, m_pos, m_neg, lambda_d)
         return det + lambda_desc * desc, (det, desc)
 
     return loss_fn
@@ -215,14 +259,18 @@ def make_loss_fn(lambda_desc: float = 1.0):
 
 def train(steps: int = 2000, batch: int = 4, n_images: int = 64,
           lr: float = 1e-3, seed: int = 0, out: str | None = None,
-          log_every: int = 100):
+          log_every: int = 100, match_run_scale: bool = True,
+          augment: bool = True, m_pos: float = 1.0, m_neg: float = 0.2,
+          lambda_d: float = 250.0, mag: float = 0.15,
+          corpus: np.ndarray | None = None):
     rng = np.random.default_rng(seed)
-    print(f"rendering {n_images} synthetic views...")
-    corpus = render_corpus(n_images, seed)
+    if corpus is None:
+        print(f"rendering {n_images} synthetic views...")
+        corpus = render_corpus(n_images, seed, match_run_scale)
     params = init_superpoint(jax.random.PRNGKey(seed))
     opt = optax.adam(lr)
     opt_state = opt.init(params)
-    loss_fn = make_loss_fn()
+    loss_fn = make_loss_fn(m_pos=m_pos, m_neg=m_neg, lambda_d=lambda_d)
 
     labels_fn = jax.jit(detector_labels)
 
@@ -241,14 +289,24 @@ def train(steps: int = 2000, batch: int = 4, n_images: int = 64,
     warp_jit = jax.jit(warp_image)
     t0 = time.time()
     for it in range(steps):
-        sel = rng.integers(0, n_images, batch)
-        grays = jnp.asarray(corpus[sel])
-        Hms = jnp.asarray(np.stack([sample_homography(rng)
+        clean = crop_batch(corpus, rng, batch)
+        Hms = jnp.asarray(np.stack([sample_homography(rng, mag)
                                     for _ in range(batch)]))
-        warps = jnp.stack([warp_jit(grays[b], Hms[b])
-                           for b in range(batch)])
-        la = jnp.stack([labels_fn(grays[b]) for b in range(batch)])
-        lb = jnp.stack([labels_fn(warps[b]) for b in range(batch)])
+        warps_clean = np.stack([np.asarray(warp_jit(jnp.asarray(clean[b]),
+                                                    Hms[b]))
+                                for b in range(batch)])
+        # detector labels from the CLEAN images (Harris teacher unpolluted
+        # by noise); the network trains on the augmented inputs
+        la = jnp.stack([labels_fn(jnp.asarray(clean[b]))
+                        for b in range(batch)])
+        lb = jnp.stack([labels_fn(jnp.asarray(warps_clean[b]))
+                        for b in range(batch)])
+        if augment:
+            grays = jnp.asarray(photometric_aug(clean, rng))
+            warps = jnp.asarray(photometric_aug(warps_clean, rng))
+        else:
+            grays = jnp.asarray(clean)
+            warps = jnp.asarray(warps_clean)
         params, opt_state, l, (det, desc) = step(params, opt_state, grays,
                                                  warps, Hms, la, lb)
         if it % log_every == 0 or it == steps - 1:
@@ -280,7 +338,7 @@ def evaluate(params, corpus, n_pairs: int = 8, seed: int = 1):
 
     ok = tot = 0
     for _ in range(n_pairs):
-        g = jnp.asarray(corpus[rng.integers(0, len(corpus))])
+        g = jnp.asarray(crop_batch(corpus, rng, 1)[0])
         Hm = sample_homography(rng)
         w = warp_image(g, jnp.asarray(Hm))
         k1, d1, v1 = extract(g)
@@ -306,13 +364,24 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--n_images", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--m_pos", type=float, default=1.0)
+    p.add_argument("--m_neg", type=float, default=0.2)
+    p.add_argument("--lambda_d", type=float, default=250.0)
+    p.add_argument("--mag", type=float, default=0.15)
+    p.add_argument("--legacy_scale", action="store_true",
+                   help="the round-3 coarse-texture 120x160 corpus")
+    p.add_argument("--no_augment", action="store_true")
     p.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(__file__), "..", "..",
                                         "pretrained",
                                         "superpoint_synthetic.npz"))
     args = p.parse_args()
     params, corpus = train(args.steps, args.batch, args.n_images, args.lr,
-                           out=args.out)
+                           out=args.out,
+                           match_run_scale=not args.legacy_scale,
+                           augment=not args.no_augment, m_pos=args.m_pos,
+                           m_neg=args.m_neg, lambda_d=args.lambda_d,
+                           mag=args.mag)
     acc, tot = evaluate(params, corpus)
     print(f"homography match precision: {acc:.3f} over {tot} matches")
 
