@@ -69,6 +69,16 @@ def sample_uv_valid(key, valid_mask: jnp.ndarray, n: int):
     Static-shape replacement for the reference's take-all-valid-pixels
     (src/Tracker.py:206-225). If no pixel is valid, falls back to uniform.
 
+    Implementation: inclusive count-CDF + searchsorted on uniform ranks —
+    distribution-identical to a categorical over equal valid logits (both
+    are uniform-with-replacement over the True set), but one O(HW) cumsum
+    (loop-invariant in the tracker/mapper scans, hoisted by XLA) plus an
+    O(n log HW) binary search, instead of the categorical's O(n * HW)
+    gumbel-argmax EVERY iteration. At the flagship 680x1200 resolution the
+    categorical was ~1.5 s/iter inside the weak-mode tracking scan and
+    dominated the round-4 oracle run (PERF.md round 4: tracking 884.7 s of
+    a 1485 s compute total).
+
     Args:
       valid_mask: (H, W) or (HW,) boolean.
       n: static sample count.
@@ -76,12 +86,16 @@ def sample_uv_valid(key, valid_mask: jnp.ndarray, n: int):
       flat indices (n,) int32 into the flattened mask, and n_valid (scalar).
     """
     m = valid_mask.reshape(-1)
-    n_valid = jnp.sum(m)
-    logits = jnp.where(m, 0.0, -jnp.inf)
-    # If nothing is valid, categorical over all-(-inf) is NaN; guard.
-    logits = jnp.where(n_valid > 0, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, logits, shape=(n,))
-    return idx.astype(jnp.int32), n_valid
+    cum = jnp.cumsum(m.astype(jnp.int32))   # cum[i] = #valid in [0, i]
+    n_valid = cum[-1]
+    k_rank, k_any = jax.random.split(key)
+    # rank r in [0, n_valid) -> index of the (r+1)-th valid pixel: the
+    # first i with cum[i] > r (side='right' on the non-decreasing cum)
+    r = jax.random.randint(k_rank, (n,), 0, jnp.maximum(n_valid, 1))
+    idx = jnp.searchsorted(cum, r, side="right").astype(jnp.int32)
+    idx_any = jax.random.randint(k_any, (n,), 0, m.shape[0],
+                                 dtype=jnp.int32)
+    return jnp.where(n_valid > 0, idx, idx_any), n_valid
 
 
 def gather_pixels(flat_idx: jnp.ndarray, W: int, depth: jnp.ndarray,

@@ -83,13 +83,18 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
     # fused full-render Pallas megakernel (ops/megakernel.py): one kernel
     # pair per iteration instead of 3 render/regulation boundaries
-    from ..ops.fused_vg import make_fused_vg, supports_fused_vg
+    from ..ops.fused_vg import (_BEYOND_HI, _BEYOND_LO, make_fused_vg,
+                                supports_fused_vg)
     from ..ops.megakernel import make_fused_render, supports_megakernel
-    # the beyond-surface sharpness term needs per-sample weights/z_vals,
-    # which the fused kernels do not expose yet -> pure XLA mapping path
+    # the beyond-surface termination term (PARITY #25) runs INSIDE the
+    # fused-VG kernel since round 4 (its weight-mass cotangent flows
+    # through the autodiffed composite VJP); the two-kernel megakernel
+    # path still lacks per-sample weights, so w_beyond_loss > 0 without
+    # fused-VG support falls all the way back to pure XLA
     use_mega = (ecfg.megakernel != "off" and not nice
-                and ecfg.w_beyond_loss == 0.0
                 and supports_megakernel(model_cfg, rcfg)
+                and (ecfg.w_beyond_loss == 0.0
+                     or supports_fused_vg(model_cfg, rcfg))
                 and (ecfg.megakernel == "on"
                      or jax.default_backend() == "tpu"))
     fused_render = (make_fused_render(rcfg, with_reg=not ecfg.occupancy)
@@ -102,7 +107,8 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
     # recompute (activations stay VMEM-resident)
     use_vg = use_mega and supports_fused_vg(model_cfg, rcfg)
     vg_fn = (make_fused_vg(rcfg, "mapper", ecfg.w_color_loss_m, 0.0005,
-                           with_color=color_in_loss)
+                           with_color=color_in_loss,
+                           w_beyond=ecfg.w_beyond_loss)
              if use_vg else None)
 
     def sample_frame_rays(key, color_u8, depth, c2w34):
@@ -220,8 +226,9 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
             # the wall with the room_bench bound) always falls OUTSIDE.
             # A relu(sigma) density-release companion term was tried and
             # HURTS (MLP smoothness drags the adjacent surface down).
-            in_band = ((z_vals > gt_d[:, None] - 0.10)
-                       & (z_vals < gt_d[:, None] + 0.05)).astype(jnp.float32)
+            in_band = ((z_vals > gt_d[:, None] - _BEYOND_LO)
+                       & (z_vals < gt_d[:, None] + _BEYOND_HI)
+                       ).astype(jnp.float32)
             m_in = jnp.sum(weights * in_band, axis=-1)
             loss = loss + ecfg.w_beyond_loss * jnp.sum(
                 (1.0 - m_in) * depth_mask)

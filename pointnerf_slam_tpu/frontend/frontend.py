@@ -99,6 +99,12 @@ class SparseFrontend:
         self.median_gt_depth: Optional[float] = None
         self.prev = None  # dict: frame_idx, kps, desc, valid
         self.telemetry = []
+        # recent accepted camera-center steps (tracked-frame granularity)
+        # for the motion-plausibility gate in track_continuous
+        self._step_hist: list = []
+        # False until the first well-supported field anchor replaces the
+        # bootstrap-pair scale (different frame gap -> different baseline)
+        self._scale_anchored = False
         # persistent sparse map (src/map.py live bookkeeping): accepted
         # triangulations become MapPoints observed in both frames; alive
         # points re-project into later frames so the pseudo-depth draws on
@@ -222,6 +228,23 @@ class SparseFrontend:
                     f"frontend bootstrap: only {r['n_cand']} accepted "
                     f"triangulations")
             self.depth_scale = r["scale"]
+            # the bootstrap pair's frame gap (and thus baseline) differs
+            # from the tracked-frame cadence: the first well-supported
+            # field anchor re-snaps the carried scale outright
+            self._scale_anchored = False
+        elif r["n_field_ok"] >= 16 and self.depth_scale:
+            # carry the per-pair baseline scale as an EWMA of well-supported
+            # raw field anchors (scale_raw, pre-blend), so the in-kernel
+            # continuity clamp, the applied-scale blend, and the
+            # no-confidence fallback all reference a RECENT baseline.
+            # Values pinned at the clamp boundary (0.25x/4x) are excluded —
+            # a binding clamp means the anchor, not the motion, moved.
+            s, ds = float(r["scale_raw"]), float(self.depth_scale)
+            if not getattr(self, "_scale_anchored", True):
+                self.depth_scale = s
+                self._scale_anchored = True
+            elif 0.26 * ds < s < 3.9 * ds:
+                self.depth_scale = 0.7 * ds + 0.3 * s
         return r
 
     def _splat(self, uv, z, accept):
@@ -440,6 +463,29 @@ class SparseFrontend:
                            "accept": accept}
         est_c2w = cv_w2c_to_nerf_c2w(Tcw_cur_cv) \
             if r["n_inliers"] >= 8 else None
+
+        # motion-plausibility gate (hard backstop behind the in-kernel
+        # scale clamp): a solved camera-center step far beyond the recent
+        # accepted steps is a scale/pose blow-up, not motion — reject the
+        # frame outright (no pose override, no pseudo-depth, prev NOT
+        # advanced, so the next tracked frame re-solves against the same
+        # reference with a larger, better-conditioned baseline). The
+        # round-4 oracle run chained ~1.0 m unit-baseline steps for 420
+        # frames with every classical gate green (PERF.md round 4).
+        C_ref = -Tcw_ref_cv[:3, :3].T @ Tcw_ref_cv[:3, 3]
+        C_cur = -np.asarray(Tcw_cur_cv)[:3, :3].T \
+            @ np.asarray(Tcw_cur_cv)[:3, 3]
+        step_d = float(np.linalg.norm(C_cur - C_ref))
+        if len(self._step_hist) >= 3:
+            med = float(np.median(self._step_hist))
+            if step_d > max(6.0 * med, 1e-3):
+                self.telemetry.append({
+                    "idx": idx, "rejected_step": step_d,
+                    "step_median": med, "scale": r["scale"]})
+                return None, None
+        self._step_hist.append(step_d)
+        if len(self._step_hist) > 10:
+            self._step_hist.pop(0)
 
         if self.map is not None:
             kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(

@@ -130,6 +130,7 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
             zf, _, _, _ = render_rays(params, model_cfg, rcfg, rays_o,
                                       rays_d, bound, kr_, None,
                                       c_grid or None)
+        s_raw = None
         if mode == "bootstrap":
             med = _masked_median(z_cur, accept)
             s = median_gt_depth / jnp.maximum(med, 1e-9)
@@ -139,7 +140,26 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
                 / jnp.maximum(_masked_median(z_cur, okf), 1e-9)
             use = (jnp.sum(okf) >= 4) & jnp.isfinite(s_field) \
                 & (s_field > 0)
-            s = jnp.where(use, s_field, depth_scale)
+            # scale-continuity clamp (round-4 oracle failure): the per-pair
+            # baseline varies smoothly at SLAM frame rates, so the field
+            # anchor may only move the carried scale by a bounded factor.
+            # Unclamped, a degraded field render (few/garbage zf) walked
+            # the scale from ~0.04 to ~1.0 — chaining the E-matrix's
+            # unit-norm translation at ~23x true camera speed (PERF.md
+            # round 4: ATE 15.1 m). depth_scale carries the EWMA of
+            # recently accepted scales (frontend._two_view).
+            s_field = jnp.clip(s_field, 0.25 * depth_scale,
+                               4.0 * depth_scale)
+            # ... and the APPLIED scale blends the (noisy) per-pair field
+            # anchor with the carried EWMA: run-1 forensics measured raw
+            # per-pair anchors at 0.6-2.3x the true baseline (novel-view
+            # field depth is cm-dm accurate), and each step's scale error
+            # walks the trajectory by err*baseline. The blend trades that
+            # noise for a small lag on genuine baseline changes, which the
+            # near-constant SLAM frame cadence tolerates.
+            s_raw = jnp.where(use, s_field, depth_scale)
+            s = jnp.where(use, 0.4 * s_field + 0.6 * depth_scale,
+                          depth_scale)
         else:
             s = depth_scale
 
@@ -186,7 +206,7 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
             Tcw_cur.reshape(-1),
             jnp.stack([jnp.sum(mvalid), n_inl, n_cand, n_scale_ok,
                        n_field_ok, jnp.sum(accept)]).astype(jnp.float32),
-            jnp.stack([s, jnp.float32(0)]),
+            jnp.stack([s, s if s_raw is None else s_raw]),
             jnp.stack([s_med, s_mad]),
             jnp.zeros((2,), jnp.float32)])
         return out_kp, out_small
@@ -248,5 +268,9 @@ class TwoViewRunner:
             "n_cand": int(small[18]), "n_scale_ok": int(small[19]),
             "n_field_ok": int(small[20]), "n_accept": int(small[21]),
             "scale": float(small[22]),
+            # the un-blended (clamp-only) per-pair field anchor: the host
+            # EWMA consumes this, not the applied blend, to avoid double
+            # smoothing
+            "scale_raw": float(small[23]),
             "score_med": float(small[24]), "score_mad": float(small[25]),
         }

@@ -76,6 +76,11 @@ TILE = 128
 # * 4B must fit beside the working set under the raised vmem limit.
 _MAX_PTS = 12800
 
+# Termination-loss band (engine/mapper.py PARITY #25; must match the XLA
+# mapper loss exactly): in-band = z in [gt - _BEYOND_LO, gt + _BEYOND_HI].
+_BEYOND_LO = 0.10
+_BEYOND_HI = 0.05
+
 
 def _vrow(cols):
     return pl.BlockSpec((TILE, cols), lambda i: (i, 0),
@@ -297,9 +302,10 @@ def _make_p1_kernel(S1):
 
 
 def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
-                    param_grads):
+                    param_grads, w_beyond=0.0):
     S2 = S1 + SI
     with_reg = mode == "mapper"
+    with_beyond = mode == "mapper" and w_beyond > 0.0
 
     def kernel(ray_ref, aux_ref, treg_ref, z2_ref, bound_ref, *rest):
         kp = dict(zip(_KP_ORDER, [r[:] for r in rest[:len(_KP_ORDER)]]))
@@ -367,6 +373,18 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
             wcol = w_color * ray_w
         loss_ray = jnp.sum(jnp.abs(ed) * wdep, axis=1, keepdims=True)
         gdep = -jnp.sign(ed) * wdep
+        if with_beyond:
+            # termination (line-of-sight) penalty: w_beyond * (1 - in-band
+            # compositing mass) per supervised ray — identical math to the
+            # XLA mapper loss (engine/mapper.py PARITY #25). z2 and gtd are
+            # stop-gradient; the mass gradient flows through the composite
+            # weights -> sigma chain inside comp_fn's VJP below.
+            in_band = ((z2 > gtd - _BEYOND_LO)
+                       & (z2 < gtd + _BEYOND_HI)).astype(jnp.float32)
+            m_in = jnp.sum(_weights(sig2, z2, dn) * in_band, axis=1,
+                           keepdims=True)
+            loss_ray += w_beyond * (1.0 - m_in) * mask
+            gmin = -w_beyond * mask
         ec = gt_c - col
         if with_color:
             loss_ray += jnp.sum(jnp.abs(ec), axis=1, keepdims=True) * wcol
@@ -393,11 +411,18 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
             def comp_fn(r_, g_, b_, sig, dvec):
                 dnorm = jnp.sqrt(jnp.sum(dvec * dvec, axis=1,
                                          keepdims=True) + 1e-24)
-                return _composite(r_, g_, b_, sig, z2, dnorm)
+                outs = _composite(r_, g_, b_, sig, z2, dnorm)
+                if with_beyond:
+                    mi = jnp.sum(_weights(sig, z2, dnorm) * in_band,
+                                 axis=1, keepdims=True)
+                    outs = outs + (mi,)
+                return outs
 
             _, comp_vjp = jax.vjp(comp_fn, r2, g2, b2, sig2, d)
             gvar = jnp.zeros_like(var)   # never in the gradient
-            gr, gg, gb, gsig, gdvec = comp_vjp((gdep, gvar, gcol))
+            cots = ((gdep, gvar, gcol, gmin) if with_beyond
+                    else (gdep, gvar, gcol))
+            gr, gg, gb, gsig, gdvec = comp_vjp(cots)
 
         # ---- backward: ONE merged MLP sweep over stored activations
         #      (importance-pass block + regulation block concatenated in
@@ -452,7 +477,8 @@ def _vg_scratch(S1, SI, SR, with_reg):
 
 
 def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
-                  with_color: bool = True, param_grads: bool = True):
+                  with_color: bool = True, param_grads: bool = True,
+                  w_beyond: float = 0.0):
     """Build the single-kernel loss value-and-grad callable.
 
     Returns vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound)
@@ -461,13 +487,16 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
     mapper/tracker loss exactly (to bf16 matmul noise). dray_* feed the
     caller's camera chain rule; aux outputs are detached monitors.
     param_grads=False skips the weight-grad contractions (dparams comes
-    back all-zero) — use for camera-only tracking."""
+    back all-zero) — use for camera-only tracking. w_beyond > 0 (mapper
+    only) adds the in-kernel termination penalty (PARITY #25) so the
+    flagship room_bench configs stay on the fused path."""
     assert mode in ("mapper", "tracker"), mode
     S1, SI, SR = rcfg.N_samples, rcfg.N_importance, rcfg.N_samples
     S2 = S1 + SI
     with_reg = mode == "mapper"
     kernel = _make_vg_kernel(S1, SI, SR, mode, with_color,
-                             float(w_color), float(w_reg), param_grads)
+                             float(w_color), float(w_reg), param_grads,
+                             float(w_beyond))
     p1_kernel = _make_p1_kernel(S1)
 
     def vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound):

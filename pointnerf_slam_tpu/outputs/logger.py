@@ -72,6 +72,16 @@ class Logger:
             data[f"pseudo_nz_{i}"] = nz.astype(np.int64)
             data[f"pseudo_val_{i}"] = pd.reshape(-1)[nz]
         data["n_pseudo"] = len(slam.pseudo_depths)
+        # front-end metric-scale state (weak mode): without these a resumed
+        # run falls back to depth_scale=1.0 — which chains the E-matrix's
+        # UNIT-norm baseline (~23x true camera speed here) the moment the
+        # field-anchored scale loses confidence. That exact failure walked
+        # the round-4 oracle run 40 m out of a 4 m room (PERF.md round 4).
+        fe = getattr(slam, "frontend", None)
+        if fe is not None:
+            data["fe_median_gt_depth"] = np.float64(fe.median_gt_depth or 0)
+            data["fe_depth_scale"] = np.float64(fe.depth_scale or 0)
+            data["fe_step_hist"] = np.asarray(fe._step_hist, np.float64)
 
         path = os.path.join(self.output, "ckpts", f"{idx:05d}.npz")
         np.savez_compressed(path, **data)
@@ -119,7 +129,37 @@ def resume_slam(slam, path: str) -> int:
             _, color, _, _ = slam.frame_reader[last]
             slam.frontend.prev = {"frame_idx": last,
                                   "feats": slam.frontend._extract(color)}
-            slam.frontend.depth_scale = 1.0  # carried implicitly by poses
+            # restore the metric-scale anchors (NEVER default to 1.0 —
+            # see Logger.log). Older checkpoints lack the fields; derive
+            # them from the data instead: the carried per-pair scale IS
+            # the recent tracked-frame baseline (readable off the restored
+            # trajectory), and the gt-median anchor is the median of the
+            # restored pseudo-depth values.
+            mgd = float(z.get("fe_median_gt_depth", 0.0))
+            dsc = float(z.get("fe_depth_scale", 0.0))
+            if dsc <= 0:
+                tef = slam.ecfg.track_every_frame
+                tr = z["estimate_c2w_list"][:idx + 1:tef][-6:, :3, 3]
+                if len(tr) >= 2:
+                    d = np.linalg.norm(np.diff(tr, axis=0), axis=1)
+                    dsc = float(np.median(d))
+            if mgd <= 0:
+                vals = np.concatenate(
+                    [np.asarray(pd).reshape(-1)
+                     for pd in slam.pseudo_depths.values()])
+                vals = vals[vals > 0.01]
+                if len(vals):
+                    mgd = float(np.median(vals))
+            if mgd > 0:
+                slam.frontend.median_gt_depth = mgd
+            if dsc > 0:
+                slam.frontend.depth_scale = dsc
+                # the restored value is already cadence-correct: do not let
+                # the next field anchor re-snap it wholesale
+                slam.frontend._scale_anchored = True
+            if "fe_step_hist" in z:
+                slam.frontend._step_hist = list(
+                    np.asarray(z["fe_step_hist"], np.float64))
 
     # keyframes: reload images from the dataset by frame index
     for slot, fidx in enumerate(z["keyframe_list"].tolist()):

@@ -108,6 +108,11 @@ def main():
                              "frames and relaunch a fresh process (works "
                              "around runtimes that degrade with process "
                              "age).")
+    parser.add_argument("--live_vis", action="store_true",
+                        help="during-run live window: pose trail + latest "
+                             "mesh + current frame (matplotlib; disables "
+                             "itself headless). Offline equivalent: "
+                             "visualizer.py --interactive.")
     args = parser.parse_args()
 
     if args.max_restarts > 0:
@@ -123,6 +128,12 @@ def main():
 
     from pointnerf_slam_tpu.outputs import attach_outputs
     attach_outputs(slam)
+    if args.live_vis:
+        # during-run viewer (reference src/utils/viewer3D.py:25 +
+        # display2D.py:28 capability, matplotlib machinery)
+        from pointnerf_slam_tpu.outputs.live_view import LiveViewer
+        slam.aux_visualizers = list(slam.aux_visualizers) + [
+            LiveViewer(slam.output, freq=cfg["mapping"]["vis_freq"])]
 
     start_idx = 0
     if args.resume:

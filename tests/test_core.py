@@ -138,6 +138,29 @@ class TestRays:
         flat_ok = {2 * self.W + 3, 5 * self.W + 7}
         assert set(np.asarray(idx).tolist()) <= flat_ok
 
+    def test_sample_valid_uniform_and_fallback(self):
+        # uniformity: with-replacement draws hit each valid pixel with
+        # ~equal frequency (guards the CDF+searchsorted implementation
+        # against off-by-one rank bugs — e.g. side='left' would starve the
+        # first valid pixel entirely)
+        mask = np.zeros((self.H, self.W), bool)
+        valid = [(1, 2), (3, 4), (6, 1), (7, 8)]
+        for r, c in valid:
+            mask[r, c] = True
+        idx, n_valid = sample_uv_valid(jax.random.PRNGKey(3),
+                                       jnp.asarray(mask), 4000)
+        assert int(n_valid) == 4
+        counts = np.bincount(np.asarray(idx), minlength=self.H * self.W)
+        flat = [r * self.W + c for r, c in valid]
+        assert counts.sum() == 4000 and counts[flat].sum() == 4000
+        assert counts[flat].min() > 800  # expect ~1000; binomial 3s ~ 41
+        # nothing valid -> uniform over all pixels, finite, in range
+        idx2, nv2 = sample_uv_valid(jax.random.PRNGKey(4),
+                                    jnp.zeros((self.H, self.W), bool), 256)
+        assert int(nv2) == 0
+        a2 = np.asarray(idx2)
+        assert a2.min() >= 0 and a2.max() < self.H * self.W
+
     def test_gather_pixels(self):
         depth = jnp.arange(self.H * self.W, dtype=jnp.float32).reshape(self.H, self.W)
         color = jnp.stack([depth, depth + 1, depth + 2], -1)

