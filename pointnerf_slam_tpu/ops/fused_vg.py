@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.sampling import ray_far_bound
 from .fused_mlp import (_KP_ORDER, _dot, _dot_f32, _dot_nt, _dot_tn,
                         pad_params, unpad_grads)
-from .megakernel import (_bound_spec, _chunk_pts, _composite, _full_spec,
+from .megakernel import (_bound_spec, _chunk_pts, _full_spec,
                          _interpret, _merge_sort, _reg_zvals,
                          _sample_pdf_det, _unpack_rays, _weights, _z_pass1,
                          supports_megakernel)
@@ -358,7 +358,12 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
         g2 = _extract_plane(raw2_3, 1)
         b2 = _extract_plane(raw2_3, 2)
         sig2 = jnp.where(ins2f > 0, _extract_plane(raw2_3, 3), 100.0)
-        depth, var, col = _composite(r2, g2, b2, sig2, z2, dn)
+        w2 = _weights(sig2, z2, dn)
+        depth = jnp.sum(w2 * z2, axis=1, keepdims=True)
+        var = jnp.sum(w2 * (z2 - depth) ** 2, axis=1, keepdims=True)
+        col = jnp.concatenate(
+            [jnp.sum(w2 * c, axis=1, keepdims=True) for c in (r2, g2, b2)],
+            axis=1)
 
         # ---- loss + output cotangents (per-ray closed forms) ----
         gt_c = aux_ref[:, 0:3]
@@ -377,14 +382,16 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
             # termination (line-of-sight) penalty: w_beyond * (1 - in-band
             # compositing mass) per supervised ray — identical math to the
             # XLA mapper loss (engine/mapper.py PARITY #25). z2 and gtd are
-            # stop-gradient; the mass gradient flows through the composite
-            # weights -> sigma chain inside comp_fn's VJP below.
+            # stop-gradient; the mass gradient enters the composite VJP as
+            # a WEIGHTS-output cotangent (gw below) so the transmittance
+            # chain is linearized exactly once — a second _weights call
+            # here pushed scoped VMEM to 63.8M, over the validated 62M
+            # limit (run-2 launch failure, 2026-08-19).
             in_band = ((z2 > gtd - _BEYOND_LO)
                        & (z2 < gtd + _BEYOND_HI)).astype(jnp.float32)
-            m_in = jnp.sum(_weights(sig2, z2, dn) * in_band, axis=1,
-                           keepdims=True)
+            m_in = jnp.sum(w2 * in_band, axis=1, keepdims=True)
             loss_ray += w_beyond * (1.0 - m_in) * mask
-            gmin = -w_beyond * mask
+            gw_beyond = (-w_beyond * mask) * in_band
         ec = gt_c - col
         if with_color:
             loss_ray += jnp.sum(jnp.abs(ec), axis=1, keepdims=True) * wcol
@@ -411,16 +418,17 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
             def comp_fn(r_, g_, b_, sig, dvec):
                 dnorm = jnp.sqrt(jnp.sum(dvec * dvec, axis=1,
                                          keepdims=True) + 1e-24)
-                outs = _composite(r_, g_, b_, sig, z2, dnorm)
-                if with_beyond:
-                    mi = jnp.sum(_weights(sig, z2, dnorm) * in_band,
-                                 axis=1, keepdims=True)
-                    outs = outs + (mi,)
-                return outs
+                w = _weights(sig, z2, dnorm)
+                dep = jnp.sum(w * z2, axis=1, keepdims=True)
+                va = jnp.sum(w * (z2 - dep) ** 2, axis=1, keepdims=True)
+                co = jnp.concatenate(
+                    [jnp.sum(w * c, axis=1, keepdims=True)
+                     for c in (r_, g_, b_)], axis=1)
+                return (dep, va, co, w) if with_beyond else (dep, va, co)
 
             _, comp_vjp = jax.vjp(comp_fn, r2, g2, b2, sig2, d)
             gvar = jnp.zeros_like(var)   # never in the gradient
-            cots = ((gdep, gvar, gcol, gmin) if with_beyond
+            cots = ((gdep, gvar, gcol, gw_beyond) if with_beyond
                     else (gdep, gvar, gcol))
             gr, gg, gb, gsig, gdvec = comp_vjp(cots)
 
