@@ -264,6 +264,12 @@ def estimate_relative_pose_ransac(kpn_ref: jnp.ndarray, kpn_cur: jnp.ndarray,
         ts = jnp.stack([c[1] for c in cands])
         b = jnp.argmax(scores)
         R, t = Rs[b], ts[b]
+        # a start whose refit E has ZERO cheirality-positive inliers in
+        # every decomposition is degenerate (measured: such starts polish
+        # to ~90-deg-off basins and, selected by cost alone, returned
+        # 0-inlier "poses" on ~half the RNG keys at some frame pairs) —
+        # mark it dead instead of polishing garbage
+        dead = scores[b] == 0
 
         # geometric polish (see _gn_polish): IRLS over ALL valid matches
         # (the hypothesis supplies only the START — its inlier set is
@@ -272,17 +278,36 @@ def estimate_relative_pose_ransac(kpn_ref: jnp.ndarray, kpn_cur: jnp.ndarray,
         w = match_valid.astype(jnp.float32)
         R, t = _gn_polish(R, t, kpn_cur, kpn_ref, w, jnp.float32(thresh))
         # robust (Huber-rho) Sampson cost over ALL valid matches — the
-        # candidate selector; truncate at 3*sigma so gross outliers do not
-        # swamp the comparison
+        # candidate tie-breaker; truncate at 3*sigma so gross outliers do
+        # not swamp the comparison
         r = jnp.abs(_signed_sampson(_skew(t) @ R, kpn_cur, kpn_ref))
         sig = thresh
         rho = jnp.where(r < sig, 0.5 * r ** 2 / sig,
                         jnp.minimum(r, 3.0 * sig) - 0.5 * sig)
         cost = jnp.sum(jnp.where(match_valid, rho, 0.0))
-        return R, t, cost
+        n_post = jnp.sum((r ** 2 < thresh ** 2) & match_valid)
+        n_post = jnp.where(dead, -1, n_post)
+        return R, t, cost, n_post
 
-    Rk, tk, costk = jax.vmap(lambda i: polish_one(Es[i], inl[i]))(top)
-    b = jnp.argmin(costk)
+    # the multi-start pool: TOPK diverse MSAC winners + one deterministic
+    # all-match start (polish_one's first refit is a weighted 8-point
+    # eigenfit over the passed mask, so seeding with mask=match_valid fits
+    # every valid match; the placeholder E is never used). With ~30%
+    # outliers the all-match eigenfit lands in the true basin even when
+    # every minimal-sample winner sits in a wrong one (measured:
+    # seed-dependent total collapse at some frame pairs without it).
+    E_seeds = jnp.concatenate([Es[top], jnp.eye(3)[None]])
+    inl_seeds = jnp.concatenate([inl[top], match_valid[None]])
+    Rk, tk, costk, npostk = jax.vmap(polish_one)(E_seeds, inl_seeds)
+    # selection: post-polish inlier count separates the basins far more
+    # sharply than the robust cost (measured 44-vs-0 inliers at a 10%
+    # cost gap); cost only tie-breaks. NaN guard: a degenerate start can
+    # polish to NaN (singular refit/SVD) and NaN score poisons argmax —
+    # measured as seed-dependent 0-inlier collapses on ~half the keys
+    finite = jnp.all(jnp.isfinite(Rk), axis=(1, 2)) \
+        & jnp.all(jnp.isfinite(tk), axis=1) & jnp.isfinite(costk)
+    score = jnp.where(finite, npostk.astype(jnp.float32) - costk, -jnp.inf)
+    b = jnp.argmax(score)
     R, t = Rk[b], tk[b]
     E = _skew(t) @ R
     d2p = _sampson(E, kpn_cur, kpn_ref)
