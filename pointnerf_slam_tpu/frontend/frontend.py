@@ -97,14 +97,31 @@ class SparseFrontend:
             self.extractor = self._default_extractor(cfg, H, W)
         self.depth_scale: Optional[float] = None
         self.median_gt_depth: Optional[float] = None
-        self.prev = None  # dict: frame_idx, kps, desc, valid
+        self.prev = None  # REFERENCE keyframe: dict(frame_idx, feats)
         self.telemetry = []
         # recent accepted camera-center steps (tracked-frame granularity)
         # for the motion-plausibility gate in track_continuous
         self._step_hist: list = []
-        # False until the first well-supported field anchor replaces the
-        # bootstrap-pair scale (different frame gap -> different baseline)
+        self._last_tracked_idx: Optional[int] = None
+        # kept for checkpoint compatibility (logger.resume_slam sets it);
+        # the EWMA scale carry it guarded was replaced by the per-solve
+        # motion-model baseline prior (see _two_view)
         self._scale_anchored = False
+        # reference-keyframe policy (pyslam tracks against a reference
+        # KEYFRAME, not the previous frame — /root/reference
+        # src/Tracker.py:458 names the method track_reference_frame):
+        # hold the two-view reference fixed until the triangulation
+        # parallax is adequate. At the consecutive-tracked-frame baseline
+        # of the flagship scene (0.9 deg) two-view depth is pure noise
+        # (measured: 0 accepted triangulations), while 2-8 deg gives
+        # 0.6-1.5% median depth error; chaining per-pair solves also
+        # accumulated a scale random walk (run-2 forensics, RESULTS.md).
+        self.min_parallax_deg = float(cfg.get("min_parallax_deg", 1.5))
+        self.ref_advance_parallax_deg = float(
+            cfg.get("ref_advance_parallax_deg", 3.0))
+        self.ref_min_matches = int(cfg.get("ref_min_matches", 150))
+        self.ref_max_fail = int(cfg.get("ref_max_fail", 2))
+        self._ref_fail_count = 0
         # persistent sparse map (src/map.py live bookkeeping): accepted
         # triangulations become MapPoints observed in both frames; alive
         # points re-project into later frames so the pseudo-depth draws on
@@ -200,12 +217,18 @@ class SparseFrontend:
         return self._runners[mode]
 
     def _two_view(self, feats_ref, feats_cur, Tcw_ref_cv: np.ndarray,
-                  set_scale: bool, field_ctx=None):
+                  set_scale: bool, field_ctx=None, scale_prior=None):
         """One fused-device two-view solve; returns the result dict of
         fused_twoview.TwoViewRunner.run. set_scale (bootstrap) anchors
-        depth_scale to the gt median depth; otherwise the field-anchored
-        scale is used when field_ctx is given, the carried depth_scale when
-        not."""
+        depth_scale to the gt median depth; otherwise `scale_prior` (the
+        motion-model predicted metric baseline |C_pred - C_ref|, computed
+        by track_continuous from the refined trajectory) is the carried
+        scale the in-kernel field anchor is clamped against and blended
+        with. The prior replaces the round-4 EWMA-of-anchors design: with
+        a FIXED reference keyframe the baseline grows every tracked frame,
+        so a carried per-pair EWMA is wrong by construction, while the
+        dead-reckoned baseline prediction is exact up to the (tiny)
+        per-frame acceleration."""
         mode = "bootstrap" if set_scale else (
             "field" if field_ctx is not None else "continuous")
         kw = {}
@@ -216,7 +239,8 @@ class SparseFrontend:
                       bound=field_ctx["bound"])
         r = self._runner_for(mode, field_ctx).run(
             mode, feats_ref, feats_cur, Tcw_ref_cv, self._next_key(),
-            self.median_gt_depth, self.depth_scale,
+            self.median_gt_depth,
+            scale_prior if scale_prior is not None else self.depth_scale,
             nn_thresh=(self.dyn.max_descriptor_distance
                        if self.dyn is not None else None), **kw)
         if self.dyn is not None:
@@ -228,23 +252,6 @@ class SparseFrontend:
                     f"frontend bootstrap: only {r['n_cand']} accepted "
                     f"triangulations")
             self.depth_scale = r["scale"]
-            # the bootstrap pair's frame gap (and thus baseline) differs
-            # from the tracked-frame cadence: the first well-supported
-            # field anchor re-snaps the carried scale outright
-            self._scale_anchored = False
-        elif r["n_field_ok"] >= 16 and self.depth_scale:
-            # carry the per-pair baseline scale as an EWMA of well-supported
-            # raw field anchors (scale_raw, pre-blend), so the in-kernel
-            # continuity clamp, the applied-scale blend, and the
-            # no-confidence fallback all reference a RECENT baseline.
-            # Values pinned at the clamp boundary (0.25x/4x) are excluded —
-            # a binding clamp means the anchor, not the motion, moved.
-            s, ds = float(r["scale_raw"]), float(self.depth_scale)
-            if not getattr(self, "_scale_anchored", True):
-                self.depth_scale = s
-                self._scale_anchored = True
-            elif 0.26 * ds < s < 3.9 * ds:
-                self.depth_scale = 0.7 * ds + 0.3 * s
         return r
 
     def _splat(self, uv, z, accept):
@@ -379,6 +386,7 @@ class SparseFrontend:
                            "kps_cur": np.asarray(uv_cur),
                            "accept": np.asarray(accept)}
         self.prev = {"frame_idx": cur_idx, "feats": feats_cur}
+        self._last_tracked_idx = cur_idx
         if self.map is not None:
             # seed the persistent map with the (scale-anchored) bootstrap
             # structure: re-triangulate with the FINAL scaled pose and
@@ -424,9 +432,10 @@ class SparseFrontend:
     def track_continuous(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,
                          field_ctx=None):
-        """Continuous tracked frame: full two-view solve against the last
-        tracked frame — E-matrix RANSAC pose, triangulation, field-anchored
-        baseline scale, quality gates, pseudo-depth splat, map bookkeeping.
+        """Continuous tracked frame: full two-view solve against the
+        REFERENCE keyframe — E-matrix RANSAC pose, triangulation,
+        motion-model-prior + field-anchored baseline scale, parallax-gated
+        pseudo-depth splat, map bookkeeping.
 
         This is the reference's INTENDED continuous behavior: its design
         note (src/Tracker.py:825-834) specifies 'per tracked frame:
@@ -434,9 +443,16 @@ class SparseFrontend:
         but the shipped loop never reassigns f_cur past the bootstrap (the
         author's comment at :888-890 marks the branch unfinished), so it
         NeRF-refines from the bootstrap pose against the bootstrap's
-        pseudo-depth forever. We implement the stated design: the returned
-        pose initializes the NeRF tracker and the pseudo-depth supervises
-        it — eliminating the drift of tracking against stale supervision.
+        pseudo-depth forever. We implement the stated design with pyslam's
+        reference-keyframe discipline (the reference's own method is
+        literally named track_reference_frame, src/Tracker.py:458): the
+        reference frame is HELD until triangulation parallax to it is
+        adequate, so two-view geometry is always solved at a conditioned
+        baseline instead of the degenerate consecutive-tracked-frame one
+        (0.9 deg here), and per-pair scale errors anchor to the refined
+        reference pose instead of chaining (run-2 forensics, RESULTS.md).
+        The returned pose initializes the NeRF tracker and the
+        pseudo-depth supervises it.
 
         Returns (est_c2w_nerf (4,4) | None, pseudo_depth | None).
         """
@@ -448,34 +464,63 @@ class SparseFrontend:
             feats_cur = self._extract(color_cur)
         ref_idx = self.prev["frame_idx"]
         feats_ref = self.prev["feats"]
+        # reference pose is re-read from the live trajectory each solve, so
+        # it carries the NeRF refinement (and any BA writeback) of that
+        # frame — holding the reference does NOT freeze its pose estimate
         Tcw_ref_cv = nerf_c2w_to_cv_w2c(estimate_c2w_list[ref_idx])
+        # scale prior = dead-reckoned metric baseline |C_pred - C_ref|:
+        # the engine wrote the motion-model predicted pose for idx into
+        # estimate_c2w_list[idx] before calling (system._frontend_frame)
+        s_prior = max(float(np.linalg.norm(
+            estimate_c2w_list[idx][:3, 3]
+            - estimate_c2w_list[ref_idx][:3, 3])), 1e-4)
         r = self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
-                           set_scale=False, field_ctx=field_ctx)
+                           set_scale=False, field_ctx=field_ctx,
+                           scale_prior=s_prior)
         Tcw_cur_cv, uv_cur, uv_ref = r["Tcw_cur"], r["uv_cur"], r["uv_ref"]
         z_cur, accept = r["z_cur"], r["accept"]
+        parallax = float(r["parallax"])
         self.telemetry.append({
-            "idx": idx, "n_matches": r["n_matches"],
+            "idx": idx, "ref_idx": ref_idx, "n_matches": r["n_matches"],
             "n_inliers": r["n_inliers"], "n_cand": r["n_cand"],
             "n_scale_ok": r["n_scale_ok"], "n_field_ok": r["n_field_ok"],
-            "n_accept": int(accept.sum()), "scale": r["scale"]})
+            "n_accept": int(accept.sum()), "scale": r["scale"],
+            "s_prior": s_prior, "parallax": parallax})
         self.last_debug = {"ref_idx": ref_idx, "cur_idx": idx,
                            "kps_ref": uv_ref, "kps_cur": uv_cur,
                            "accept": accept}
         est_c2w = cv_w2c_to_nerf_c2w(Tcw_cur_cv) \
             if r["n_inliers"] >= 8 else None
 
+        if est_c2w is None:
+            # solve failed outright: keep the reference (the next tracked
+            # frame retries with a larger baseline) unless it failed
+            # repeatedly — then the reference itself has gone stale
+            # (viewpoint drifted past matchability) and we re-anchor on
+            # the current frame, whose pose the NeRF tracker refines from
+            # the motion model this same step.
+            self._ref_fail_count += 1
+            if self._ref_fail_count >= self.ref_max_fail:
+                self.prev = {"frame_idx": idx, "feats": feats_cur}
+                self._ref_fail_count = 0
+            self._last_tracked_idx = idx
+            return None, None
+        self._ref_fail_count = 0
+
         # motion-plausibility gate (hard backstop behind the in-kernel
         # scale clamp): a solved camera-center step far beyond the recent
-        # accepted steps is a scale/pose blow-up, not motion — reject the
-        # frame outright (no pose override, no pseudo-depth, prev NOT
-        # advanced, so the next tracked frame re-solves against the same
-        # reference with a larger, better-conditioned baseline). The
-        # round-4 oracle run chained ~1.0 m unit-baseline steps for 420
-        # frames with every classical gate green (PERF.md round 4).
-        C_ref = -Tcw_ref_cv[:3, :3].T @ Tcw_ref_cv[:3, 3]
-        C_cur = -np.asarray(Tcw_cur_cv)[:3, :3].T \
-            @ np.asarray(Tcw_cur_cv)[:3, 3]
-        step_d = float(np.linalg.norm(C_cur - C_ref))
+        # accepted per-tracked-frame steps is a scale/pose blow-up, not
+        # motion — reject the frame outright (no pose override, no
+        # pseudo-depth). The round-4 oracle run chained ~1.0 m
+        # unit-baseline steps for 420 frames with every classical gate
+        # green (PERF.md round 4). Measured against the PREVIOUS TRACKED
+        # frame (not the held reference, whose distance legitimately
+        # grows every frame).
+        last_tr = self._last_tracked_idx
+        C_last = estimate_c2w_list[last_tr][:3, 3] if last_tr is not None \
+            else estimate_c2w_list[ref_idx][:3, 3]
+        step_d = float(np.linalg.norm(est_c2w[:3, 3] - C_last))
+        self._last_tracked_idx = idx
         if len(self._step_hist) >= 3:
             med = float(np.median(self._step_hist))
             if step_d > max(6.0 * med, 1e-3):
@@ -486,33 +531,55 @@ class SparseFrontend:
         self._step_hist.append(step_d)
         if len(self._step_hist) > 10:
             self._step_hist.pop(0)
+        self.depth_scale = float(r["scale"])  # diagnostic/ckpt trail
 
-        if self.map is not None:
-            kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(
-                feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv,
-                angles=feats_ref[3])
-            kf_cur = self._kf_for(idx, np.asarray(self._kpn(feats_cur[0])),
-                                  feats_cur[1], feats_cur[2], Tcw_cur_cv,
-                                  angles=feats_cur[3])
-            # world points for the map: reproject accepted uv/z through the
-            # scaled current pose
-            Twc = _inv_rigid_np(Tcw_cur_cv)
-            xn = (uv_cur - [self.cx, self.cy]) / [self.fx, self.fy]
-            cam_pts = np.concatenate([xn * z_cur[:, None], z_cur[:, None]],
-                                     1)
-            pts3d_w = cam_pts @ Twc[:3, :3].T + Twc[:3, 3]
-            uv_m, z_m, acc_m = self._map_update(
-                idx, kf_cur, kf_ref, r["idx2"], pts3d_w, accept,
-                np.asarray(Tcw_cur_cv))
-            uv_all = np.concatenate([uv_cur, uv_m], axis=0)
-            z_all = np.concatenate([z_cur, z_m], axis=0)
-            acc_all = np.concatenate([accept, acc_m], axis=0)
-        else:
-            uv_all, z_all, acc_all = uv_cur, z_cur, accept
+        # pseudo-depth (and map registration) only from well-conditioned
+        # geometry: below ~1.5 deg median parallax the triangulated depths
+        # are noise shaped by the acceptance gates (run-2 forensics:
+        # per-frame pseudo medians 0.6-2.4 m against a 2.8 m scene), and
+        # training the field on them poisons the scale anchor for every
+        # later frame. The mapper masks depth<=0, so a gated frame simply
+        # contributes color-only supervision (reference Mapper.py:628-655
+        # semantics).
+        emit = parallax >= self.min_parallax_deg
+        pseudo = None
+        if emit:
+            if self.map is not None:
+                kf_ref = self._kf_for(ref_idx, np.asarray(self._kpn(
+                    feats_ref[0])), feats_ref[1], feats_ref[2], Tcw_ref_cv,
+                    angles=feats_ref[3])
+                kf_cur = self._kf_for(idx, np.asarray(self._kpn(
+                    feats_cur[0])), feats_cur[1], feats_cur[2], Tcw_cur_cv,
+                    angles=feats_cur[3])
+                # world points for the map: reproject accepted uv/z
+                # through the scaled current pose
+                Twc = _inv_rigid_np(Tcw_cur_cv)
+                xn = (uv_cur - [self.cx, self.cy]) / [self.fx, self.fy]
+                cam_pts = np.concatenate(
+                    [xn * z_cur[:, None], z_cur[:, None]], 1)
+                pts3d_w = cam_pts @ Twc[:3, :3].T + Twc[:3, 3]
+                uv_m, z_m, acc_m = self._map_update(
+                    idx, kf_cur, kf_ref, r["idx2"], pts3d_w, accept,
+                    np.asarray(Tcw_cur_cv))
+                uv_all = np.concatenate([uv_cur, uv_m], axis=0)
+                z_all = np.concatenate([z_cur, z_m], axis=0)
+                acc_all = np.concatenate([accept, acc_m], axis=0)
+            else:
+                uv_all, z_all, acc_all = uv_cur, z_cur, accept
+            if int(acc_all.sum()) >= 8:
+                pseudo = self._splat(uv_all, z_all, acc_all)
 
-        self.prev = {"frame_idx": idx, "feats": feats_cur}
-        pseudo = self._splat(uv_all, z_all, acc_all) \
-            if int(acc_all.sum()) >= 8 else None
+        # reference-keyframe advancement: re-anchor on the current frame
+        # once its parallax to the reference is comfortably past the
+        # emission gate (the structure handed to the map above is then
+        # well-conditioned), or when matching against the reference is
+        # decaying (advance BEFORE it breaks, while a reliable relative
+        # pose still exists).
+        if (parallax >= self.ref_advance_parallax_deg
+                and int(accept.sum()) >= 16) \
+                or r["n_matches"] < self.ref_min_matches \
+                or r["n_inliers"] < 30:
+            self.prev = {"frame_idx": idx, "feats": feats_cur}
         return est_c2w, pseudo
 
     def pseudo_depth_for(self, frame_reader, idx: int,

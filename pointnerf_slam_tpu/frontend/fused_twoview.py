@@ -67,8 +67,8 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
       out_kp columns: [u_cur, v_cur, u_ref, v_ref, z_cur, z_ref, accept,
                        field_ok, px, py, pz, idx2]  (z scaled, p in world)
       out_small: [Tcw_cur.flat (16), n_matches, n_inliers, n_cand,
-                  n_scale_ok, n_field_ok, n_accept, scale, 0,
-                  score_med, score_mad, pad (2)]
+                  n_scale_ok, n_field_ok, n_accept, scale, scale_raw,
+                  score_med, score_mad, parallax_med_deg, pad]
     params/c_grid/c2w_pred/bound are consumed only in 'field' mode (pass
     zeros-likes otherwise; the traced graph drops them).
     """
@@ -113,6 +113,23 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
             pts3d, Tcw_cur, Tcw_ref, kpn_cur, kpn_ref, fx)
         accept = accept & inliers & ok
         n_cand = jnp.sum(accept)
+
+        # median triangulation parallax over the candidate set (deg).
+        # Scale-invariant (a similarity about C_ref preserves ray angles),
+        # so computed on the unit-baseline structure. This is the
+        # conditioning signal for the reference-keyframe policy: two-view
+        # depth error ~ px_noise / (f * parallax), measured 0 accepted
+        # triangulations at the 0.9-deg consecutive-tracked-frame
+        # baseline vs 0.6-1.5% median z error at 2-8 deg.
+        C_ref_u = -Tcw_ref[:3, :3].T @ Tcw_ref[:3, 3]
+        C_cur_u = -Tcw_cur[:3, :3].T @ Tcw_cur[:3, 3]
+        v1 = pts3d - C_ref_u[None]
+        v2 = pts3d - C_cur_u[None]
+        cosp = jnp.sum(v1 * v2, -1) / jnp.maximum(
+            jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1),
+            1e-12)
+        par_deg = jnp.degrees(jnp.arccos(jnp.clip(cosp, -1.0, 1.0)))
+        par_med = _masked_median(par_deg, accept)
 
         uv_cur = uvn_cur * f + c
         uv_ref = uvn_ref * f + c
@@ -208,7 +225,7 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
                        n_field_ok, jnp.sum(accept)]).astype(jnp.float32),
             jnp.stack([s, s if s_raw is None else s_raw]),
             jnp.stack([s_med, s_mad]),
-            jnp.zeros((2,), jnp.float32)])
+            jnp.stack([par_med, jnp.float32(0.0)])])
         return out_kp, out_small
 
     return jax.jit(step)
@@ -273,4 +290,7 @@ class TwoViewRunner:
             # smoothing
             "scale_raw": float(small[23]),
             "score_med": float(small[24]), "score_mad": float(small[25]),
+            # median triangulation parallax (deg) over the candidate set:
+            # the conditioning signal for the reference-keyframe policy
+            "parallax": float(small[26]),
         }

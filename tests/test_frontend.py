@@ -350,6 +350,73 @@ class TestSparseFrontendE2E:
         rel = np.abs(p[m] - np.asarray(depth10)[m]) / np.asarray(depth10)[m]
         assert float(np.median(rel)) < 0.15
 
+    def test_reference_keyframe_policy(self):
+        """track_continuous holds the two-view reference keyframe until
+        parallax is adequate, gates pseudo-depth emission on parallax, and
+        re-anchors once past the advancement threshold (pyslam
+        track_reference_frame discipline, /root/reference
+        src/Tracker.py:458; conditioning forensics in RESULTS.md run 2)."""
+        from tests.test_engine import tiny_cfg
+        from pointnerf_slam_tpu.io.datasets import get_dataset
+        cfg = tiny_cfg(data={"orbit": 0.06, "n_frames": 12},
+                       cam={"H": 120, "W": 160, "fx": 90.0, "fy": 90.0,
+                            "cx": 79.5, "cy": 59.5})
+        ds = get_dataset(cfg)
+
+        def seeded_fe():
+            fe = SparseFrontend(cfg, ds.H, ds.W, ds.fx, ds.fy, ds.cx,
+                                ds.cy)
+            _, c2, _, _ = ds[2]
+            fe.prev = {"frame_idx": 2, "feats": fe._extract(c2)}
+            fe._last_tracked_idx = 2
+            _, _, d2, _ = ds[2]
+            fe.median_gt_depth = float(np.median(np.asarray(d2)))
+            fe.depth_scale = 0.02
+            return fe
+
+        est = np.zeros((12, 4, 4), np.float32)
+        for i in range(12):
+            _, _, _, est[i] = ds[i]  # ideal refine: gt poses
+
+        # hold case: advancement disabled -> the reference must stay
+        # pinned while solves keep succeeding at growing baselines
+        fe = seeded_fe()
+        fe.ref_advance_parallax_deg = 1e9
+        fe.ref_min_matches = 0
+        for idx in (4, 6, 8, 10):
+            e, _ = fe.track_continuous(ds, idx, est)
+            assert e is not None, f"solve failed at {idx}"
+            assert fe.prev["frame_idx"] == 2, "reference advanced"
+        tels = [t for t in fe.telemetry if "parallax" in t]
+        assert all(t["ref_idx"] == 2 for t in tels)
+        # parallax grows with the held reference's baseline
+        pars = [t["parallax"] for t in tels]
+        assert pars[-1] > pars[0]
+
+        # emission gate: pseudo-depth exists iff parallax >= the gate
+        fe2 = seeded_fe()
+        fe2.ref_advance_parallax_deg = 1e9
+        fe2.ref_min_matches = 0
+        fe2.min_parallax_deg = 1e9        # gate everything off
+        e, pd = fe2.track_continuous(ds, 8, est)
+        assert e is not None and pd is None
+        fe2.min_parallax_deg = 0.0        # gate everything on
+        e, pd = fe2.track_continuous(ds, 10, est)
+        assert e is not None and pd is not None
+        # emitted pseudo-depth is metrically sane (<15% median rel err)
+        _, _, d10, _ = ds[10]
+        p = np.asarray(pd)
+        m = p > 0.01
+        rel = np.abs(p[m] - np.asarray(d10)[m]) / np.asarray(d10)[m]
+        assert float(np.median(rel)) < 0.15
+
+        # advancement case: threshold 0 -> re-anchors on every solve
+        fe3 = seeded_fe()
+        fe3.ref_advance_parallax_deg = 0.0
+        fe3.min_parallax_deg = 0.0
+        e, _ = fe3.track_continuous(ds, 6, est)
+        assert e is not None and fe3.prev["frame_idx"] == 6
+
 
 class TestSuperPointTorchParity:
     """Golden converter + forward parity (VERDICT r1 missing #5): build the
