@@ -82,6 +82,14 @@ class Logger:
             data["fe_median_gt_depth"] = np.float64(fe.median_gt_depth or 0)
             data["fe_depth_scale"] = np.float64(fe.depth_scale or 0)
             data["fe_step_hist"] = np.asarray(fe._step_hist, np.float64)
+            # reference-keyframe identity: resume must re-anchor on the
+            # SAME reference (run 2 reseeded it 45 frames stale via
+            # max(pseudo_depths) — RESULTS.md forensics #3)
+            data["fe_ref_idx"] = np.int64(
+                fe.prev["frame_idx"] if fe.prev is not None else -1)
+            data["fe_last_tracked_idx"] = np.int64(
+                fe._last_tracked_idx
+                if fe._last_tracked_idx is not None else -1)
 
         path = os.path.join(self.output, "ckpts", f"{idx:05d}.npz")
         np.savez_compressed(path, **data)
@@ -124,11 +132,19 @@ def resume_slam(slam, path: str) -> int:
     if slam.pseudo_depths:
         slam._bootstrapped = True
         if slam.frontend is not None:
-            # reseed the frontend's reference frame for continuous mode
-            last = max(slam.pseudo_depths)
+            # reseed the frontend's REFERENCE keyframe: the persisted
+            # identity when available (run-2 forensics #3: the old
+            # max(pseudo_depths) guess reseeded 45 frames stale), else
+            # the most recent tracked frame before the resume point
+            last = int(z.get("fe_ref_idx", -1))
+            if last < 0:
+                tef = slam.ecfg.track_every_frame
+                last = max(tef, (idx // tef) * tef - tef)
             _, color, _, _ = slam.frame_reader[last]
             slam.frontend.prev = {"frame_idx": last,
                                   "feats": slam.frontend._extract(color)}
+            lt = int(z.get("fe_last_tracked_idx", -1))
+            slam.frontend._last_tracked_idx = lt if lt >= 0 else last
             # restore the metric-scale anchors (NEVER default to 1.0 —
             # see Logger.log). Older checkpoints lack the fields; derive
             # them from the data instead: the carried per-pair scale IS

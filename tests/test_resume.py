@@ -69,6 +69,12 @@ class TestResume:
                           float(slam1.frontend.depth_scale))
         assert np.isclose(float(slam2.frontend.median_gt_depth),
                           float(slam1.frontend.median_gt_depth))
+        # reference-keyframe identity survives the resume (run-2 forensics
+        # #3: the old max(pseudo_depths) guess reseeded it 45 frames stale)
+        assert slam2.frontend.prev["frame_idx"] \
+            == slam1.frontend.prev["frame_idx"]
+        assert slam2.frontend._last_tracked_idx \
+            == slam1.frontend._last_tracked_idx
 
     def test_resume_weak_scale_from_legacy_ckpt(self, tmp_path):
         """A checkpoint WITHOUT the fe_* fields (pre-round-4) must restore
