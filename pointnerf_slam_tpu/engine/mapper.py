@@ -110,6 +110,20 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
                            with_color=color_in_loss,
                            w_beyond=ecfg.w_beyond_loss)
              if use_vg else None)
+    # resample-every-K schedule (PERF.md round 4): reuse one pixel batch +
+    # one importance z2 across K consecutive Adam iterations — the
+    # (K-1)/K share of the p1 kernel, the XLA middle, and the per-frame
+    # sampling/gather drops out of the per-iteration cost. Rays are
+    # re-derived from the LIVE BA cams every iteration, so camera
+    # gradients stay exact; only the (stop-gradient) importance
+    # distribution is up to K iterations stale.
+    resample_k = max(int(ecfg.map_resample_every), 1)
+    vg_prep = vg_main = None
+    if use_vg and resample_k > 1:
+        from ..ops.fused_vg import make_fused_vg_split
+        vg_prep, vg_main = make_fused_vg_split(
+            rcfg, "mapper", ecfg.w_color_loss_m, 0.0005,
+            with_color=color_in_loss, w_beyond=ecfg.w_beyond_loss)
 
     def sample_frame_rays(key, color_u8, depth, c2w34):
         if ecfg.weak_depth:
@@ -161,6 +175,47 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
             ray_w, t_reg, bound)
         (dcams,) = rays_vjp((dro, drd))
         return loss, {"params": dparams, "cams": dcams, "grids": {}}
+
+    def vg_round(carry, k, make_update, fixed_cams, frame_valid, ba_mask,
+                 colors, depths, bound, n_valid_frames):
+        """One resample round: sample pixels + prepare z2 once, then K
+        fused-VG Adam iterations on that batch (resample_every schedule).
+        make_update(loss, grads, opt_vars, opt_state) applies the shared
+        psum/mask/Adam tail of the K=1 body."""
+        opt_vars, opt_state = carry
+        keys = jax.random.split(k, max_frames + 1)
+        i_pix, j_pix, gt_d, gt_c = jax.vmap(sample_frame_pixels)(
+            keys[:max_frames], colors, depths)
+        gt_d_f = gt_d.reshape(-1)
+        gt_c_f = gt_c.reshape(-1, 3)
+        ray_w = jnp.repeat(frame_valid.astype(jnp.float32), pixs_per_frame)
+        ray_w = ray_w * (max_frames / jnp.maximum(n_valid_frames, 1))
+
+        def rays_fn(cams_opt):
+            cams = jnp.where(ba_mask[:, None], cams_opt, fixed_cams)
+            c2w = camera_from_tensor(cams)              # (F, 3, 4)
+            ro, rd = jax.vmap(lambda i, j, c: rays_from_uv(
+                i, j, c, ecfg.fx, ecfg.fy, ecfg.cx, ecfg.cy))(
+                    i_pix, j_pix, c2w)
+            return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+        ro0, rd0 = rays_fn(opt_vars["cams"])
+        z2 = vg_prep(opt_vars["params"], ro0, rd0, gt_d_f, bound)
+
+        def inner(carry2, kk):
+            opt_vars, opt_state = carry2
+            (ro, rd), rays_vjp = jax.vjp(rays_fn, opt_vars["cams"])
+            t_reg = jax.random.uniform(kk,
+                                       (ro.shape[0], rcfg.N_samples))
+            loss, dparams, dro, drd, _aux = vg_main(
+                opt_vars["params"], ro, rd, gt_d_f, gt_c_f, ray_w, t_reg,
+                z2, bound)
+            (dcams,) = rays_vjp((dro, drd))
+            grads = {"params": dparams, "cams": dcams, "grids": {}}
+            return make_update(loss, grads, opt_vars, opt_state)
+
+        inner_keys = jax.random.split(keys[-1], resample_k)
+        return jax.lax.scan(inner, (opt_vars, opt_state), inner_keys)
 
     def loss_fn(opt_vars, fixed_cams, frame_valid, ba_mask, colors, depths,
                 bound, key, n_valid_frames):
@@ -291,6 +346,19 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         opt_state = tx.init(opt_vars)
         n_valid_frames = jnp.sum(frame_valid)
 
+        def apply_update(loss, grads, opt_vars, opt_state):
+            """Shared psum/mask/Adam tail of one iteration."""
+            if mesh is not None:
+                grads = jax.lax.psum(grads, "data")   # all-reduce over ICI
+                loss = jax.lax.psum(loss, "data")
+            grads["cams"] = grads["cams"] * ba_mask[:, None]
+            if use_grid_masks:
+                grads["grids"] = {name: g * grid_masks[name]
+                                  for name, g in grads["grids"].items()}
+            updates, opt_state = tx.update(grads, opt_state)
+            opt_vars = optax.apply_updates(opt_vars, updates)
+            return (opt_vars, opt_state), loss
+
         def body(carry, k):
             opt_vars, opt_state = carry
             if mesh is not None:
@@ -303,20 +371,26 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
                 loss, grads = jax.value_and_grad(loss_fn)(
                     opt_vars, fixed_cams, frame_valid, ba_mask, colors,
                     depths, bound, k, n_valid_frames)
-            if mesh is not None:
-                grads = jax.lax.psum(grads, "data")   # all-reduce over ICI
-                loss = jax.lax.psum(loss, "data")
-            grads["cams"] = grads["cams"] * ba_mask[:, None]
-            if use_grid_masks:
-                grads["grids"] = {name: g * grid_masks[name]
-                                  for name, g in grads["grids"].items()}
-            updates, opt_state = tx.update(grads, opt_state)
-            opt_vars = optax.apply_updates(opt_vars, updates)
-            return (opt_vars, opt_state), loss
+            return apply_update(loss, grads, opt_vars, opt_state)
 
-        keys = jax.random.split(key, num_iters)
-        (opt_vars, _), losses = jax.lax.scan(body, (opt_vars, opt_state),
-                                             keys)
+        if vg_main is not None and num_iters % resample_k == 0:
+            # resample-every-K: scan over rounds of K iterations sharing
+            # one pixel batch + z2 (keys fold per device, as in body)
+            def round_body(carry, k):
+                if mesh is not None:
+                    k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                return vg_round(carry, k, apply_update, fixed_cams,
+                                frame_valid, ba_mask, colors, depths,
+                                bound, n_valid_frames)
+
+            keys = jax.random.split(key, num_iters // resample_k)
+            (opt_vars, _), losses = jax.lax.scan(
+                round_body, (opt_vars, opt_state), keys)
+            losses = losses.reshape(-1)
+        else:
+            keys = jax.random.split(key, num_iters)
+            (opt_vars, _), losses = jax.lax.scan(
+                body, (opt_vars, opt_state), keys)
         cams = jnp.where(ba_mask[:, None], opt_vars["cams"], fixed_cams)
         grids_out = opt_vars["grids"] if nice else c_grid
         return opt_vars["params"], grids_out, cams, losses

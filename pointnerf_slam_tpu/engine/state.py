@@ -69,6 +69,12 @@ class EngineConfig:
     fix_color: bool = False
     middle_iter_ratio: float = 0.4
     fine_iter_ratio: float = 0.6
+    # resample-every-K schedule (fused-VG path only): reuse one pixel batch
+    # + one importance z2 for K consecutive Adam iterations; rays are still
+    # re-derived from the live cameras each iteration, so BA/tracking
+    # gradients stay exact. K=1 == the reference per-iteration resampling.
+    map_resample_every: int = 1
+    track_resample_every: int = 1
 
     @classmethod
     def from_cfg(cls, cfg: dict, H: int, W: int, fx, fy, cx, cy):
@@ -103,6 +109,8 @@ class EngineConfig:
             fix_fine=m["fix_fine"], fix_color=m["fix_color"],
             middle_iter_ratio=m["middle_iter_ratio"],
             fine_iter_ratio=m["fine_iter_ratio"],
+            map_resample_every=m.get("resample_every", 1),
+            track_resample_every=t.get("resample_every", 1),
         )
 
 

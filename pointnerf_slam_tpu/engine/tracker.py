@@ -62,6 +62,18 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
                            with_color=ecfg.use_color_in_tracking,
                            param_grads=False)
              if use_vg else None)
+    # resample-every-K (see mapper.py): one pixel batch + one importance
+    # z2 per K camera-Adam iterations; rays re-derived from the live cam
+    # each iteration (the camera is the thing being optimized). z2 is
+    # prepared at the round-start camera — at tracking step sizes the
+    # importance distribution shifts negligibly within a round.
+    resample_k = max(int(ecfg.track_resample_every), 1)
+    vg_prep = vg_main = None
+    if use_vg and resample_k > 1:
+        from ..ops.fused_vg import make_fused_vg_split
+        vg_prep, vg_main = make_fused_vg_split(
+            rcfg, "tracker", ecfg.w_color_loss_t,
+            with_color=ecfg.use_color_in_tracking, param_grads=False)
 
     def sample_rays(key, color, depth, c2w34):
         if ecfg.weak_depth:
@@ -146,8 +158,18 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
             (dcam,) = rays_vjp((dro, drd))
             return loss, dcam
 
-        def body(carry, k):
+        def apply_update(loss, grads, carry):
             opt_vars, opt_state, best_cam, best_loss = carry
+            cam = join(opt_vars)
+            improved = loss < best_loss
+            best_cam = jnp.where(improved, cam, best_cam)
+            best_loss = jnp.where(improved, loss, best_loss)
+            updates, opt_state = tx.update(split(grads), opt_state)
+            opt_vars = optax.apply_updates(opt_vars, updates)
+            return (opt_vars, opt_state, best_cam, best_loss), loss
+
+        def body(carry, k):
+            opt_vars = carry[0]
             cam = join(opt_vars)
             if use_vg:
                 loss, grads = vg_loss(cam, k)
@@ -156,16 +178,54 @@ def make_tracking_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig):
                     lambda c: loss_fn(c, params, c_grid, color, depth_sup,
                                       bound, k)
                 )(cam)
-            improved = loss < best_loss
-            best_cam = jnp.where(improved, cam, best_cam)
-            best_loss = jnp.where(improved, loss, best_loss)
-            updates, opt_state = tx.update(split(grads), opt_state)
-            opt_vars = optax.apply_updates(opt_vars, updates)
-            return (opt_vars, opt_state, best_cam, best_loss), loss
+            return apply_update(loss, grads, carry)
 
-        keys = jax.random.split(key, ecfg.num_cam_iters)
+        def round_body(carry, k):
+            """One resample round (resample_every schedule): sample the
+            pixel batch + prepare z2 once at the round-start camera, then
+            K fused-VG Adam iterations re-deriving rays from the live
+            camera each time."""
+            k_s, k_in = jax.random.split(k)
+            if ecfg.weak_depth:
+                idx, _ = sample_uv_valid(k_s, depth_sup > 0.01, n_rays)
+            else:
+                idx = sample_uv_uniform(k_s, W, He, H - He, We, W - We,
+                                        n_rays)
+            i, j, gt_d, gt_c = gather_pixels(idx, W, depth_sup, color)
+
+            def rays_fn(c):
+                return rays_from_uv(i, j, camera_from_tensor(c), ecfg.fx,
+                                    ecfg.fy, ecfg.cx, ecfg.cy)
+
+            cam0 = join(carry[0])
+            ro0, rd0 = rays_fn(cam0)
+            z2 = vg_prep(params, ro0, rd0, gt_d, bound)
+            t0 = jnp.zeros((n_rays, rcfg.N_samples))
+
+            def inner(carry2, _kk):
+                # _kk unused: the tracker consumes no per-iteration
+                # randomness on the fused path (t_reg is zeros)
+                cam = join(carry2[0])
+                (ro, rd), rays_vjp = jax.vjp(rays_fn, cam)
+                loss, _dp, dro, drd, _aux = vg_main(
+                    params, ro, rd, gt_d, gt_c, jnp.ones_like(gt_d), t0,
+                    z2, bound)
+                (dcam,) = rays_vjp((dro, drd))
+                return apply_update(loss, dcam, carry2)
+
+            inner_keys = jax.random.split(k_in, resample_k)
+            return jax.lax.scan(inner, carry, inner_keys)
+
         init = (opt_vars, opt_state, cam_tensor, jnp.float32(1e10))
-        (_, _, best_cam, best_loss), losses = jax.lax.scan(body, init, keys)
+        if vg_main is not None and ecfg.num_cam_iters % resample_k == 0:
+            keys = jax.random.split(key, ecfg.num_cam_iters // resample_k)
+            (_, _, best_cam, best_loss), losses = jax.lax.scan(
+                round_body, init, keys)
+            losses = losses.reshape(-1)
+        else:
+            keys = jax.random.split(key, ecfg.num_cam_iters)
+            (_, _, best_cam, best_loss), losses = jax.lax.scan(body, init,
+                                                               keys)
         return best_cam, best_loss, losses[0]
 
     return tracking_step

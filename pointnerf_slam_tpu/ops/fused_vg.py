@@ -484,20 +484,9 @@ def _vg_scratch(S1, SI, SR, with_reg):
     return [f((P, 4)), b((P, 128))] + [b((P, 256)) for _ in range(4)]
 
 
-def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
-                  with_color: bool = True, param_grads: bool = True,
-                  w_beyond: float = 0.0):
-    """Build the single-kernel loss value-and-grad callable.
-
-    Returns vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound)
-      -> (loss, dparams, dray_o, dray_d, (depth, depth_var, color))
-    where loss and all gradients match jax.value_and_grad over the XLA
-    mapper/tracker loss exactly (to bf16 matmul noise). dray_* feed the
-    caller's camera chain rule; aux outputs are detached monitors.
-    param_grads=False skips the weight-grad contractions (dparams comes
-    back all-zero) — use for camera-only tracking. w_beyond > 0 (mapper
-    only) adds the in-kernel termination penalty (PARITY #25) so the
-    flagship room_bench configs stay on the fused path."""
+def _make_vg_parts(rcfg, mode: str, w_color: float, w_reg: float,
+                   with_color: bool, param_grads: bool, w_beyond: float):
+    """Shared construction for make_fused_vg / make_fused_vg_split."""
     assert mode in ("mapper", "tracker"), mode
     S1, SI, SR = rcfg.N_samples, rcfg.N_importance, rcfg.N_samples
     S2 = S1 + SI
@@ -507,23 +496,29 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
                              float(w_beyond))
     p1_kernel = _make_p1_kernel(S1)
 
-    def vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound):
-        kp = pad_params(params)
+    def _pack_rays(rays_o, rays_d, gt_d, bound):
         far_bb = ray_far_bound(rays_o, rays_d, bound)
         far = jnp.clip(far_bb, 0.0, jnp.max(gt_d * 1.2))
         pk = jnp.concatenate(
             [rays_o, rays_d, gt_d[:, None], far[:, None]], axis=1)
-        aux = jnp.concatenate(
-            [gt_c, ray_w[:, None], jnp.zeros((gt_c.shape[0], 4))], axis=1)
         n = pk.shape[0]
-        npad = (-n) % TILE
-        pk = jnp.pad(pk, ((0, npad), (0, 0)))
-        aux = jnp.pad(aux, ((0, npad), (0, 0)))   # ray_w pads to 0: no-op
-        tr = jnp.pad(t_reg, ((0, npad), (0, 0)))
+        pk = jnp.pad(pk, ((0, (-n) % TILE), (0, 0)))
         b8 = jnp.zeros((1, 8), jnp.float32).at[0, :6].set(
             bound.reshape(-1).astype(jnp.float32))
-        grad_shapes = [jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
-                       for k in _KP_ORDER]
+        return pk, b8
+
+    def prepare(params, rays_o, rays_d, gt_d, bound):
+        """Pass-1 sigma + importance resample -> merged z2 (padded rows).
+
+        Split out so a resample_every=K schedule can reuse one z2 across K
+        Adam iterations: the (K-1)/K share of the p1 kernel + the XLA
+        middle (stratify/composite/inverse-CDF/sort) disappears from the
+        per-iteration cost. z2 is stop-gradient by construction (the
+        reference also resamples from a detached pass; Renderer.py:186-201),
+        so reuse only staleness-shifts the importance DISTRIBUTION, never
+        a gradient path."""
+        kp = pad_params(params)
+        pk, b8 = _pack_rays(rays_o, rays_d, gt_d, bound)
 
         # kernel 1: pass-1 sigma (parallel grid, small working set)
         sig1 = pl.pallas_call(
@@ -549,7 +544,20 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
         zs = _sample_pdf_det(z1, w1, SI)
         # native XLA sort (renderer.py:136 parity; the kernel-friendly
         # one-hot _merge_sort exists for in-kernel use only)
-        z2 = jnp.sort(jnp.concatenate([z1, zs], axis=1), axis=1)
+        return jnp.sort(jnp.concatenate([z1, zs], axis=1), axis=1)
+
+    def main(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, z2, bound):
+        """Main fused value-and-grad kernel, given the merged z2."""
+        kp = pad_params(params)
+        pk, b8 = _pack_rays(rays_o, rays_d, gt_d, bound)
+        n = rays_o.shape[0]
+        npad = (-n) % TILE
+        aux = jnp.concatenate(
+            [gt_c, ray_w[:, None], jnp.zeros((gt_c.shape[0], 4))], axis=1)
+        aux = jnp.pad(aux, ((0, npad), (0, 0)))   # ray_w pads to 0: no-op
+        tr = jnp.pad(t_reg, ((0, npad), (0, 0)))
+        grad_shapes = [jax.ShapeDtypeStruct(kp[k].shape, jnp.float32)
+                       for k in _KP_ORDER]
 
         outs = pl.pallas_call(
             kernel,
@@ -582,4 +590,43 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
         aux_out = (outv[:n, 1], outv[:n, 2], outv[:n, 3:6])
         return loss, dparams, dray[:n, 0:3], dray[:n, 3:6], aux_out
 
-    return vg
+    def vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound):
+        z2 = prepare(params, rays_o, rays_d, gt_d, bound)
+        return main(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, z2,
+                    bound)
+
+    return vg, prepare, main
+
+
+def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
+                  with_color: bool = True, param_grads: bool = True,
+                  w_beyond: float = 0.0):
+    """Build the single-kernel loss value-and-grad callable.
+
+    Returns vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound)
+      -> (loss, dparams, dray_o, dray_d, (depth, depth_var, color))
+    where loss and all gradients match jax.value_and_grad over the XLA
+    mapper/tracker loss exactly (to bf16 matmul noise). dray_* feed the
+    caller's camera chain rule; aux outputs are detached monitors.
+    param_grads=False skips the weight-grad contractions (dparams comes
+    back all-zero) — use for camera-only tracking. w_beyond > 0 (mapper
+    only) adds the in-kernel termination penalty (PARITY #25) so the
+    flagship room_bench configs stay on the fused path."""
+    return _make_vg_parts(rcfg, mode, w_color, w_reg, with_color,
+                          param_grads, w_beyond)[0]
+
+
+def make_fused_vg_split(rcfg, mode: str, w_color: float,
+                        w_reg: float = 0.0005, with_color: bool = True,
+                        param_grads: bool = True, w_beyond: float = 0.0):
+    """The factored pair for resample_every=K schedules.
+
+    Returns (prepare, main):
+      prepare(params, rays_o, rays_d, gt_d, bound) -> z2 (padded rows)
+      main(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, z2, bound)
+        -> same outputs as make_fused_vg's vg.
+    main(..., prepare(...)) == vg(...) exactly (same op sequence; the
+    recomputed ray packing CSEs away under one jit)."""
+    _, prepare, main = _make_vg_parts(rcfg, mode, w_color, w_reg,
+                                      with_color, param_grads, w_beyond)
+    return prepare, main

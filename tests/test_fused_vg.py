@@ -173,3 +173,91 @@ def test_tracker_mode_matches_megakernel_autodiff():
     _cmp_trees(gp, gp_ref)
     _cmp_rays(go, go_ref, "rays_o")
     _cmp_rays(gd, gd_ref, "rays_d")
+
+
+def test_split_composition_equals_vg():
+    """make_fused_vg_split: main(..., prepare(...)) must equal vg(...)
+    exactly (same op sequence) — the resample_every=K engine schedule
+    reuses prepare()'s z2 across K iterations and relies on K=1-equivalent
+    composition semantics."""
+    from pointnerf_slam_tpu.ops.fused_vg import make_fused_vg_split
+    params, ro, rd, gt_d, gt_c, t_reg, ray_w = setup(n=140, seed=11)
+    vg = make_fused_vg(RCFG, "mapper", W_COLOR_M, W_REG)
+    prep, main = make_fused_vg_split(RCFG, "mapper", W_COLOR_M, W_REG)
+
+    l_ref, gp_ref, go_ref, gd_ref, aux_ref = vg(
+        params, ro, rd, gt_d, gt_c, ray_w, t_reg, BOUND)
+    z2 = prep(params, ro, rd, gt_d, BOUND)
+    l, gp, go, gd, aux = main(params, ro, rd, gt_d, gt_c, ray_w, t_reg,
+                              z2, BOUND)
+
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-6)
+    _cmp_trees(gp, gp_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(go_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                               atol=1e-5)
+    for a, b in zip(aux, aux_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # a STALE z2 (from perturbed rays, as after K-1 camera updates) still
+    # yields a finite, close loss: staleness shifts only the importance
+    # distribution, never a gradient path
+    z2_stale = prep(params, ro + 1e-3, rd, gt_d, BOUND)
+    l2, *_ = main(params, ro, rd, gt_d, gt_c, ray_w, t_reg, z2_stale,
+                  BOUND)
+    assert np.isfinite(float(l2))
+    np.testing.assert_allclose(float(l2), float(l_ref), rtol=5e-2)
+
+
+def test_engine_resample_every_quality():
+    """mapper/tracker resample_every=K path: runs, stays finite, and
+    converges comparably to K=1 at the same iteration count (the schedule
+    reuses one pixel batch + importance z2 per K Adam iterations)."""
+    from pointnerf_slam_tpu.engine.mapper import make_mapper_step
+    from pointnerf_slam_tpu.engine.state import EngineConfig
+    from pointnerf_slam_tpu.engine.tracker import make_tracking_step
+    from pointnerf_slam_tpu.models.decoders import MLPConfig, init_mlp
+
+    H, W, F = 24, 32, 2
+    mcfg = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=32,
+                     skips=(), n_blocks=2)
+    rcfg = RenderConfig(N_samples=12, N_surface=0, N_importance=4)
+    bound = jnp.array([[-4.0, 4.0], [-4.0, 4.0], [-4.0, 4.0]])
+    key = jax.random.PRNGKey(5)
+    params = init_mlp(jax.random.PRNGKey(0), mcfg)
+    colors = (jax.random.uniform(key, (F, H, W, 3)) * 255).astype(jnp.uint8)
+    depths = jax.random.uniform(key, (F, H, W), minval=0.5, maxval=2.5)
+    cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 1.5]), (F, 1))
+
+    losses = {}
+    for k in (1, 4):
+        ecfg = EngineConfig(H=H, W=W, fx=20.0, fy=20.0, cx=15.5, cy=11.5,
+                            mapping_pixels=128, weak_depth=False,
+                            depth_supervision=True, megakernel="on",
+                            map_resample_every=k)
+        step = make_mapper_step(mcfg, rcfg, ecfg, F)
+        _, _, _, ls = step(params, {}, colors, depths, cams,
+                           jnp.ones((F,), bool), jnp.zeros((F,), bool),
+                           bound, jax.random.PRNGKey(7), 16)
+        ls = np.asarray(ls)
+        assert ls.shape == (16,) and np.all(np.isfinite(ls))
+        losses[k] = ls
+    # same optimization problem, same budget: final losses comparable
+    assert losses[4][-4:].mean() < 1.6 * losses[1][-4:].mean() + 1e-3
+
+    # tracker: K=4 refines the camera about as well as K=1
+    best = {}
+    for k in (1, 4):
+        ecfg = EngineConfig(H=H, W=W, fx=20.0, fy=20.0, cx=15.5, cy=11.5,
+                            tracking_pixels=128, num_cam_iters=8,
+                            weak_depth=False, depth_supervision=True,
+                            megakernel="on", track_resample_every=k)
+        tstep = make_tracking_step(mcfg, rcfg, ecfg)
+        cam0 = jnp.array([1.0, 0, 0, 0, 0.02, 0, 1.5])
+        bc, bl, _ = tstep(params, {}, cam0,
+                          colors[0].astype(jnp.float32) / 255.0,
+                          depths[0], bound, jax.random.PRNGKey(3))
+        assert np.all(np.isfinite(np.asarray(bc)))
+        best[k] = float(bl)
+    assert best[4] < 1.6 * best[1] + 1e-3
