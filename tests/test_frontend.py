@@ -540,6 +540,11 @@ class TestSuperPointWeakPipeline:
         cfg = weak_cfg()
         cfg["superpoint_weights"] = ckpt
         cfg["data"]["n_frames"] = 11
+        # the small-corpus CNN yields ~9 accepted triangulations on this
+        # tiny scene (Harris: dozens): relax the bootstrap conditioning
+        # gate to the pre-gate minimum — this test asserts the CNN RUNS
+        # the pipeline, not production-grade conditioning
+        cfg["bootstrap_min_cand"] = 8
         slam = PointNeRFSLAM(cfg)
         assert isinstance(slam.frontend.extractor, SuperPointExtractor)
         slam.run()

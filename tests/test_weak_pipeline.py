@@ -13,6 +13,10 @@ def weak_cfg():
         weak_depth=True,
         depth_supervision=True,
         track_every_frame=5,
+        # tiny 120x160 scenes carry far fewer keypoints/triangulations
+        # than the flagship's 680x1200; keep the production-strength
+        # bootstrap conditioning gates proportionate
+        bootstrap_min_cand=16,
         cam={"H": 120, "W": 160, "fx": 90.0, "fy": 90.0,
              "cx": 79.5, "cy": 59.5},
         data={"dataset": "synthetic", "n_frames": 16, "orbit": 0.12,
