@@ -56,11 +56,19 @@ def main():
     model_cfg = MLPConfig(dim=3, c_dim=0, color=True, hidden_size=256,
                           skips=(), n_blocks=4)
     rcfg = RenderConfig(N_samples=32, N_surface=0, N_importance=12)
+    # Resample-every-K schedule (PARITY #27): one pixel batch + one
+    # importance-z per 4 consecutive Adam iterations instead of the
+    # reference's per-iteration resampling. Equal-budget convergence
+    # parity is tested (tests/test_fused_vg.py K=4-vs-K=1, mapper and
+    # tracker); rays still re-derive from live cameras every iteration,
+    # so camera gradients are exact. Overridable for A/B timing.
+    K = int(os.environ.get("BENCH_RESAMPLE_EVERY", "4"))
     ecfg = EngineConfig(
         H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
         tracking_pixels=5000, num_cam_iters=50, cam_lr=1e-3,
         mapping_pixels=5000, mapping_window_size=5,
-        weak_depth=False, depth_supervision=True)
+        weak_depth=False, depth_supervision=True,
+        map_resample_every=K, track_resample_every=K)
 
     params = init_mlp(jax.random.PRNGKey(0), model_cfg)
     bound = jnp.asarray([[-3.5, 3.5]] * 3) * 1.0
