@@ -75,6 +75,10 @@ class EngineConfig:
     # gradients stay exact. K=1 == the reference per-iteration resampling.
     map_resample_every: int = 1
     track_resample_every: int = 1
+    # ABLATION ONLY (error-budget decomposition, BASELINE.md §Acceptance
+    # bar): replace the solved two-view baseline scale with the true one;
+    # residual ATE isolates the non-scale drift sources.
+    gt_scale_injection: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict, H: int, W: int, fx, fy, cx, cy):
@@ -111,6 +115,7 @@ class EngineConfig:
             fine_iter_ratio=m["fine_iter_ratio"],
             map_resample_every=m.get("resample_every", 1),
             track_resample_every=t.get("resample_every", 1),
+            gt_scale_injection=t.get("gt_scale_injection", False),
         )
 
 

@@ -140,6 +140,7 @@ class PointNeRFSLAM:
         # device arrays are appended WITHOUT a host sync and only pulled at
         # the writer's cadence
         self.loss_log = {"mapping": [], "tracking": []}
+        self.scale_telemetry = []  # per-tracked-frame stage decomposition
         self.timings = {"tracking": 0.0, "mapping": 0.0, "frontend": 0.0,
                         "frames": 0}
 
@@ -549,6 +550,12 @@ class PointNeRFSLAM:
                 # the pose with that fresh supervision
                 self._frontend_frame(idx, color)
                 self._track_frame(idx, color, sensor_depth, gt_c2w)
+                if self.scale_telemetry \
+                        and self.scale_telemetry[-1]["idx"] == idx:
+                    self.scale_telemetry[-1]["c_refined"] = \
+                        self.estimate_c2w_list[idx][:3, 3].tolist()
+                    self.scale_telemetry[-1]["c_gt"] = \
+                        gt_c2w[:3, 3].tolist()
                 self._backfill_poses(idx - e.track_every_frame, idx)
             else:
                 self.estimate_c2w_list[idx] = self.estimate_c2w_list[idx - 1]
@@ -685,13 +692,31 @@ class PointNeRFSLAM:
                 params=self.params, c_grid=self.c_grid,
                 c2w_pred=self.estimate_c2w_list[idx], bound=self.bound,
                 model_cfg=self.model_cfg, rcfg=self.rcfg)
+        ref_idx = self.frontend.prev["frame_idx"] \
+            if self.frontend.prev is not None else -1
+        gt_baseline = None
+        if self.ecfg.gt_scale_injection and ref_idx >= 0:
+            # oracle-scale ablation (BASELINE.md error budget): true
+            # metric baseline between the pair, everything else live
+            gt_baseline = float(np.linalg.norm(
+                self.gt_c2w_list[idx][:3, 3]
+                - self.gt_c2w_list[ref_idx][:3, 3]))
         est_c2w, pseudo = self.frontend.track_continuous(
             self.frame_reader, idx, self.estimate_c2w_list,
-            field_ctx=field_ctx)
+            field_ctx=field_ctx, gt_baseline=gt_baseline)
         if est_c2w is not None:
             self._pose_init_override = est_c2w
         if pseudo is not None:
             self.pseudo_depths[idx] = pseudo
+        # per-stage scale/pose telemetry (VERDICT r4 #1): bank the motion
+        # model's predicted center, the front-end-solved center, and (after
+        # the NeRF refine, see process_frame) the refined + gt centers —
+        # the decomposition that locates which stage injects scale error.
+        self.scale_telemetry.append({
+            "idx": idx, "ref_idx": ref_idx,
+            "c_prior": self.estimate_c2w_list[idx][:3, 3].tolist(),
+            "c_solve": None if est_c2w is None
+            else np.asarray(est_c2w)[:3, 3].tolist()})
         self.timings["frontend"] += time.time() - t0
 
     def run(self, start_idx: int = 0):

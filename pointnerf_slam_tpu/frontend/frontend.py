@@ -31,7 +31,7 @@ import numpy as np
 from ..core.se3 import inv_T
 from .epipolar import estimate_relative_pose_ransac
 from .features import HarrisExtractor, SuperPointExtractor
-from .mapstore import _KF_REGISTRY, KeyFrame, Map
+from .mapstore import _KF_REGISTRY, KeyFrame, Map, MapPoint
 from .matching import match_two_way
 from .pseudo_depth import splat_pseudo_depth
 from .triangulate import point_checks, triangulate_points
@@ -412,8 +412,21 @@ class SparseFrontend:
         if len(self._kf_order) % self.map_cull_every == 0:
             self.map.cull_points(max_reproj_err_n=2.0 / float(self.fx))
         if len(self.map.points) > self.map_max_points:
-            drop = len(self.map.points) - self.map_max_points
-            self.map.points = self.map.points[drop:]   # oldest out
+            # overflow policy: keep the MOST-OBSERVED points (stable sort:
+            # older first among ties). Well-observed old points are the
+            # map's absolute-scale memory — the round-4 oldest-out policy
+            # rolled that memory over every ~40 tracked frames, so the
+            # map anchor's metric frame itself random-walked with the
+            # solves it was supposed to pin down (run-3 forensics:
+            # ~200-frame scale excursions, RESULTS.md round 5).
+            order = np.argsort([-mp.num_observations
+                                for mp in self.map.points], kind="stable")
+            keep = set(order[:self.map_max_points].tolist())
+            for i, mp in enumerate(self.map.points):
+                if i not in keep:
+                    mp.set_bad()
+            self.map.points = [self.map.points[i]
+                               for i in sorted(keep)]
 
         # -- 4: confirmed-point projections --
         B = self.map_proj_budget
@@ -539,7 +552,7 @@ class SparseFrontend:
 
     def track_continuous(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,
-                         field_ctx=None):
+                         field_ctx=None, gt_baseline=None):
         """Continuous tracked frame: full two-view solve against the
         REFERENCE keyframe — E-matrix RANSAC pose, triangulation,
         motion-model-prior + field-anchored baseline scale, parallax-gated
@@ -593,6 +606,10 @@ class SparseFrontend:
             "n_inliers": r["n_inliers"], "n_cand": r["n_cand"],
             "n_scale_ok": r["n_scale_ok"], "n_field_ok": r["n_field_ok"],
             "n_accept": int(accept.sum()), "scale": r["scale"],
+            # the un-blended per-pair field anchor (clamp-only): the
+            # scale-bias decomposition needs the raw measurement next to
+            # the applied blend (VERDICT r4 #1 instrumentation)
+            "scale_raw": r["scale_raw"],
             "s_prior": s_prior, "parallax": parallax})
         self.last_debug = {"ref_idx": ref_idx, "cur_idx": idx,
                            "kps_ref": uv_ref, "kps_cur": uv_cur,
@@ -629,6 +646,24 @@ class SparseFrontend:
                     r["scale"] = float(r["scale"]) * f
                     self.telemetry[-1]["f_map"] = f
                     self.telemetry[-1]["n_map_anchor"] = n_sup
+
+        if est_c2w is not None and gt_baseline is not None:
+            # oracle-scale injection ABLATION (VERDICT r4 #2): force the
+            # solved baseline about the estimated reference to the true
+            # metric baseline, keeping direction/rotation/refinement as-is
+            # — the residual trajectory error isolates every non-scale
+            # drift source. Never a production path; enabled only by
+            # tracking.gt_scale_injection in an ablation config.
+            C_ref = estimate_c2w_list[ref_idx][:3, 3]
+            b = float(np.linalg.norm(est_c2w[:3, 3] - C_ref))
+            if b > 1e-9:
+                f_gt = float(gt_baseline) / b
+                est_c2w = np.array(est_c2w, np.float64, copy=True)
+                est_c2w[:3, 3] = C_ref + f_gt * (est_c2w[:3, 3] - C_ref)
+                Tcw_cur_cv = nerf_c2w_to_cv_w2c(est_c2w)
+                z_cur = np.asarray(z_cur) * f_gt
+                r["scale"] = float(r["scale"]) * f_gt
+                self.telemetry[-1]["f_gt"] = f_gt
 
         if est_c2w is None:
             # solve failed outright: keep the reference (the next tracked
@@ -678,6 +713,7 @@ class SparseFrontend:
         self._step_hist.append(step_d)
         if len(self._step_hist) > 10:
             self._step_hist.pop(0)
+        self.telemetry[-1]["step_d"] = step_d
         self.depth_scale = float(r["scale"])  # diagnostic/ckpt trail
 
         # pseudo-depth (and map registration) only from well-conditioned
@@ -728,6 +764,127 @@ class SparseFrontend:
                 or r["n_inliers"] < 30:
             self.prev = {"frame_idx": idx, "feats": feats_cur}
         return est_c2w, pseudo
+
+    # -- checkpoint persistence ---------------------------------------------
+    def state_arrays(self) -> dict:
+        """Full front-end state as flat numpy arrays for the checkpoint.
+
+        Round-3-run forensics (RESULTS.md round 5): resume restored only
+        the scalar scale anchors; the persistent MAP — the metric-scale
+        memory the per-solve anchor pins against — silently restarted
+        empty, and the first post-resume solves rebuilt it at whatever
+        scale they happened to carry (measured: scale excursions to 7x
+        within 10 tracked frames of the frame-100 resume). Persist the
+        map + reference-keyframe features so a resumed run continues in
+        the SAME metric frame."""
+        import json
+        out = {}
+        if self.prev is not None:
+            kps, desc, val, ang = self.prev["feats"]
+            out["fe2_prev_idx"] = np.int64(self.prev["frame_idx"])
+            out["fe2_prev_kps"] = np.asarray(kps, np.float32)
+            out["fe2_prev_desc"] = np.asarray(desc, np.float32)
+            out["fe2_prev_valid"] = np.asarray(val)
+            if ang is not None:
+                out["fe2_prev_ang"] = np.asarray(ang, np.float32)
+        if self._kf_order:
+            kfs = [self._kfs[i] for i in self._kf_order]
+            out["fe2_kf_idx"] = np.asarray(
+                [kf.frame_idx for kf in kfs], np.int64)
+            out["fe2_kf_kps"] = np.stack(
+                [kf.kps for kf in kfs]).astype(np.float32)
+            out["fe2_kf_desc"] = np.stack(
+                [kf.desc for kf in kfs]).astype(np.float32)
+            out["fe2_kf_valid"] = np.stack([kf.valid for kf in kfs])
+            out["fe2_kf_Tcw"] = np.stack(
+                [kf.Tcw for kf in kfs]).astype(np.float64)
+            if all(kf.angles is not None for kf in kfs):
+                out["fe2_kf_ang"] = np.stack(
+                    [kf.angles for kf in kfs]).astype(np.float32)
+        if self.map is not None and self.map.points:
+            alive = [mp for mp in self.map.points if not mp.is_bad]
+            if alive:
+                kfid2fidx = {self._kfs[i].id: i for i in self._kf_order}
+                out["fe2_mp_pt"] = np.stack(
+                    [mp.pt for mp in alive]).astype(np.float64)
+                d0 = next((mp.des for mp in alive if mp.des is not None),
+                          None)
+                if d0 is not None:
+                    des = np.zeros((len(alive), len(d0)), np.float32)
+                    hasd = np.zeros((len(alive),), bool)
+                    for i, mp in enumerate(alive):
+                        if mp.des is not None:
+                            des[i] = mp.des
+                            hasd[i] = True
+                    out["fe2_mp_des"] = des
+                    out["fe2_mp_hasdes"] = hasd
+                obs = [(i, kfid2fidx[kid], kp)
+                       for i, mp in enumerate(alive)
+                       for kid, kp in mp.observations.items()
+                       if kid in kfid2fidx]
+                out["fe2_obs"] = np.asarray(obs, np.int64).reshape(-1, 3)
+        out["fe2_ref_fail"] = np.int64(self._ref_fail_count)
+        if self.dyn is not None:
+            out["fe2_dyn_thresh"] = np.float64(
+                self.dyn.max_descriptor_distance)
+        out["fe2_telemetry"] = np.str_(json.dumps(self.telemetry))
+        return out
+
+    def load_state_arrays(self, z) -> bool:
+        """Restore the state saved by state_arrays (inverse). Returns True
+        when a persisted map/reference was found (legacy checkpoints lack
+        the fe2_ fields; the caller falls back to the round-4 reseed)."""
+        import json
+        if "fe2_prev_idx" not in z:
+            return False
+        ang = np.asarray(z["fe2_prev_ang"]) if "fe2_prev_ang" in z else None
+        self.prev = {
+            "frame_idx": int(z["fe2_prev_idx"]),
+            "feats": (np.asarray(z["fe2_prev_kps"]),
+                      np.asarray(z["fe2_prev_desc"]),
+                      np.asarray(z["fe2_prev_valid"]), ang)}
+        self._kfs, self._kf_order = {}, []
+        if self.map is not None:
+            self.map.points = []
+        if "fe2_kf_idx" in z and self.map is not None:
+            kf_idx = np.asarray(z["fe2_kf_idx"]).tolist()
+            angs = z["fe2_kf_ang"] if "fe2_kf_ang" in z else None
+            for s, fidx in enumerate(kf_idx):
+                kf = KeyFrame(int(fidx), np.asarray(z["fe2_kf_kps"][s]),
+                              np.asarray(z["fe2_kf_desc"][s]),
+                              np.asarray(z["fe2_kf_valid"][s]),
+                              np.asarray(z["fe2_kf_Tcw"][s]),
+                              angles=None if angs is None
+                              else np.asarray(angs[s]))
+                self._kfs[int(fidx)] = kf
+                self._kf_order.append(int(fidx))
+                self.map.add_keyframe(kf)
+            if "fe2_mp_pt" in z:
+                pts = np.asarray(z["fe2_mp_pt"])
+                des = z["fe2_mp_des"] if "fe2_mp_des" in z else None
+                hasd = z["fe2_mp_hasdes"] if "fe2_mp_hasdes" in z else None
+                mps = [MapPoint(pts[i]) for i in range(len(pts))]
+                for row, fidx, kp in np.asarray(
+                        z.get("fe2_obs", np.zeros((0, 3), np.int64))):
+                    kf = self._kfs.get(int(fidx))
+                    if kf is not None:
+                        mps[int(row)].add_observation(kf, int(kp))
+                for i, mp in enumerate(mps):
+                    if des is not None and hasd is not None and hasd[i]:
+                        mp.des = np.asarray(des[i])
+                self.map.points = [mp for mp in mps
+                                   if mp.num_observations >= 1]
+                for fidx in self._kf_order:
+                    self.map.graph.update_connections(self._kfs[fidx])
+        self._ref_fail_count = int(z.get("fe2_ref_fail", 0))
+        if self.dyn is not None and "fe2_dyn_thresh" in z:
+            self.dyn.max_descriptor_distance = float(z["fe2_dyn_thresh"])
+        if "fe2_telemetry" in z:
+            try:
+                self.telemetry = json.loads(str(z["fe2_telemetry"]))
+            except Exception:
+                pass
+        return True
 
     def pseudo_depth_for(self, frame_reader, idx: int,
                          estimate_c2w_list: np.ndarray,

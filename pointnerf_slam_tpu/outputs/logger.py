@@ -90,6 +90,17 @@ class Logger:
             data["fe_last_tracked_idx"] = np.int64(
                 fe._last_tracked_idx
                 if fe._last_tracked_idx is not None else -1)
+            # FULL front-end state (round-5): the persistent map is the
+            # metric-scale memory; without it a resume rebuilds the map at
+            # whatever scale the first post-resume solves carry (run-3
+            # forensics: the frame-100 resume kicked off a 7x scale
+            # excursion, RESULTS.md round 5)
+            data.update(fe.state_arrays())
+        # per-stage scale decomposition telemetry (VERDICT r4 #1)
+        if getattr(slam, "scale_telemetry", None):
+            import json
+            data["scale_telemetry"] = np.str_(
+                json.dumps(slam.scale_telemetry))
 
         path = os.path.join(self.output, "ckpts", f"{idx:05d}.npz")
         np.savez_compressed(path, **data)
@@ -132,19 +143,26 @@ def resume_slam(slam, path: str) -> int:
     if slam.pseudo_depths:
         slam._bootstrapped = True
         if slam.frontend is not None:
-            # reseed the frontend's REFERENCE keyframe: the persisted
-            # identity when available (run-2 forensics #3: the old
-            # max(pseudo_depths) guess reseeded 45 frames stale), else
-            # the most recent tracked frame before the resume point
-            last = int(z.get("fe_ref_idx", -1))
-            if last < 0:
-                tef = slam.ecfg.track_every_frame
-                last = max(tef, (idx // tef) * tef - tef)
-            _, color, _, _ = slam.frame_reader[last]
-            slam.frontend.prev = {"frame_idx": last,
-                                  "feats": slam.frontend._extract(color)}
+            # FULL front-end restore (map + reference features) when the
+            # checkpoint carries it (round-5 fe2_ fields) — the persistent
+            # map is the metric-scale memory (run-3 forensics). Legacy
+            # checkpoints fall back to the round-4 reference reseed.
+            if not slam.frontend.load_state_arrays(z):
+                # reseed the frontend's REFERENCE keyframe: the persisted
+                # identity when available (run-2 forensics #3: the old
+                # max(pseudo_depths) guess reseeded 45 frames stale), else
+                # the most recent tracked frame before the resume point
+                last = int(z.get("fe_ref_idx", -1))
+                if last < 0:
+                    tef = slam.ecfg.track_every_frame
+                    last = max(tef, (idx // tef) * tef - tef)
+                _, color, _, _ = slam.frame_reader[last]
+                slam.frontend.prev = {
+                    "frame_idx": last,
+                    "feats": slam.frontend._extract(color)}
             lt = int(z.get("fe_last_tracked_idx", -1))
-            slam.frontend._last_tracked_idx = lt if lt >= 0 else last
+            slam.frontend._last_tracked_idx = lt if lt >= 0 else \
+                slam.frontend.prev["frame_idx"]
             # restore the metric-scale anchors (NEVER default to 1.0 —
             # see Logger.log). Older checkpoints lack the fields; derive
             # them from the data instead: the carried per-pair scale IS
@@ -176,6 +194,14 @@ def resume_slam(slam, path: str) -> int:
             if "fe_step_hist" in z:
                 slam.frontend._step_hist = list(
                     np.asarray(z["fe_step_hist"], np.float64))
+
+    # per-stage scale telemetry continues across the resume
+    if "scale_telemetry" in z:
+        import json
+        try:
+            slam.scale_telemetry = json.loads(str(z["scale_telemetry"]))
+        except Exception:
+            pass
 
     # keyframes: reload images from the dataset by frame index
     for slot, fidx in enumerate(z["keyframe_list"].tolist()):

@@ -76,6 +76,61 @@ class TestResume:
         assert slam2.frontend._last_tracked_idx \
             == slam1.frontend._last_tracked_idx
 
+    def test_resume_weak_restores_map_and_telemetry(self, tmp_path):
+        """Round-5: the persistent sparse map (the metric-scale memory),
+        the reference-keyframe FEATURES, and the per-stage telemetry all
+        survive a resume. Run-3 forensics (RESULTS.md round 5): the map
+        restarted empty at the frame-100 resume and the scale random walk
+        began within 10 tracked frames."""
+        from tests.test_weak_pipeline import weak_cfg
+        cfg = weak_cfg()
+        cfg["data"]["output"] = str(tmp_path)
+        slam1 = PointNeRFSLAM(cfg)
+        for idx in range(9):
+            _, color, depth, gt = slam1.frame_reader[idx]
+            slam1.step(idx, color, depth, gt)
+        fe1 = slam1.frontend
+        assert fe1.map is not None and len(fe1.map.points) > 0
+        logger = Logger(str(tmp_path), 1, slam1.n_img,
+                        no_log_on_first_frame=False)
+        logger.log(slam1, 8)
+
+        slam2 = PointNeRFSLAM(cfg)
+        resume_slam(slam2, str(tmp_path / "ckpts" / "00008.npz"))
+        fe2 = slam2.frontend
+        # keyframe window identity + poses
+        assert fe2._kf_order == fe1._kf_order
+        for fidx in fe1._kf_order:
+            np.testing.assert_allclose(fe2._kfs[fidx].Tcw,
+                                       fe1._kfs[fidx].Tcw)
+            np.testing.assert_allclose(fe2._kfs[fidx].kps,
+                                       fe1._kfs[fidx].kps)
+        # map points: same alive positions + observation counts
+        alive1 = [mp for mp in fe1.map.points if not mp.is_bad]
+        alive2 = [mp for mp in fe2.map.points if not mp.is_bad]
+        assert len(alive2) == len(alive1)
+        np.testing.assert_allclose(
+            np.stack([mp.pt for mp in alive2]),
+            np.stack([mp.pt for mp in alive1]))
+        assert [mp.num_observations for mp in alive2] \
+            == [mp.num_observations for mp in alive1]
+        # reference features are the saved arrays, not a re-extraction
+        np.testing.assert_allclose(np.asarray(fe2.prev["feats"][0]),
+                                   np.asarray(fe1.prev["feats"][0]))
+        # telemetry trails continue across the resume
+        assert [t.get("idx") for t in fe2.telemetry] \
+            == [t.get("idx") for t in fe1.telemetry]
+        assert [t["idx"] for t in slam2.scale_telemetry] \
+            == [t["idx"] for t in slam1.scale_telemetry]
+        # and the map ANCHORS the same: the correction factor computed on
+        # the restored map must match the live one for the same solve
+        # inputs (identical ratios -> identical median)
+        kfr1 = fe1._kfs[fe1._kf_order[-1]]
+        obs1 = sum(1 for mp in alive1 if kfr1.id in mp.observations)
+        kfr2 = fe2._kfs[fe2._kf_order[-1]]
+        obs2 = sum(1 for mp in alive2 if kfr2.id in mp.observations)
+        assert obs2 == obs1
+
     def test_resume_weak_scale_from_legacy_ckpt(self, tmp_path):
         """A checkpoint WITHOUT the fe_* fields (pre-round-4) must restore
         sane anchors derived from the data, never 1.0."""

@@ -67,3 +67,38 @@ class TestWeakPipeline:
         # keyframes: weak mode inserts every mapped frame
         assert len(slam.keyframes) >= 3
         assert slam.timings["frontend"] > 0
+
+    def test_gt_scale_injection_ablation(self):
+        """tracking.gt_scale_injection (error-budget ablation,
+        BASELINE.md): each continuous solve's baseline about the estimated
+        reference equals the TRUE metric baseline; telemetry records the
+        applied factor."""
+        from pointnerf_slam_tpu.engine import PointNeRFSLAM
+        cfg = weak_cfg()
+        cfg["tracking"]["gt_scale_injection"] = True
+        cfg["data"]["output"] = "/tmp/tpu_slam_gtscale_test"
+        slam = PointNeRFSLAM(cfg)
+        for idx in range(16):
+            _, color, depth, gt = slam.frame_reader[idx]
+            slam.step(idx, color, depth, gt)
+        fe = slam.frontend
+        inj = [t for t in fe.telemetry if "f_gt" in t]
+        assert inj, "no injected solves recorded"
+        # every injected solve's baseline matches the gt baseline about
+        # the estimated reference (checked via the recorded solve center)
+        checked = 0
+        for rec in slam.scale_telemetry:
+            if rec["c_solve"] is None:
+                continue
+            i, r = rec["idx"], rec["ref_idx"]
+            b_est = np.linalg.norm(np.asarray(rec["c_solve"])
+                                   - slam.estimate_c2w_list[r][:3, 3])
+            b_gt = np.linalg.norm(slam.gt_c2w_list[i][:3, 3]
+                                  - slam.gt_c2w_list[r][:3, 3])
+            # ref pose may have been refined AFTER the solve; compare
+            # loosely (the telemetry f_gt is the exact check)
+            if any(t.get("idx") == i and "f_gt" in t
+                   for t in fe.telemetry):
+                np.testing.assert_allclose(b_est, b_gt, rtol=0.35)
+                checked += 1
+        assert checked >= 1
