@@ -636,7 +636,17 @@ class SparseFrontend:
             # pull toward sanity) — apply clipped values only then
             if n_sup >= self.map_scale_min_pts and np.isfinite(f):
                 f = float(np.clip(f, 0.4, 2.5))
-                trusted = 0.45 < f < 2.2 or n_sup >= 200
+                # graduated trust (round-5 closed-loop forensics): a
+                # weakly-supported out-sized correction is how the scale
+                # whiplashes — the 500-frame sim applied f=0.65 on 55
+                # points at frame 345, the acceptance rate collapsed, and
+                # the map rebuilt itself 4x off and then CONFIRMED that
+                # scale to the end (f_map ~1.0, err +140 mm/frame). Small
+                # corrections are cheap to accept; big ones must be
+                # well-measured.
+                trusted = (0.75 < f < 1.33) \
+                    or (0.45 < f < 2.2 and n_sup >= 60) \
+                    or n_sup >= 200
                 if trusted:
                     C_ref = estimate_c2w_list[ref_idx][:3, 3]
                     est_c2w = np.array(est_c2w, np.float64, copy=True)
@@ -646,6 +656,35 @@ class SparseFrontend:
                     r["scale"] = float(r["scale"]) * f
                     self.telemetry[-1]["f_map"] = f
                     self.telemetry[-1]["n_map_anchor"] = n_sup
+
+        if est_c2w is not None and self.median_gt_depth is not None \
+                and parallax >= self.min_parallax_deg \
+                and gt_baseline is None:
+            # absolute scale-sanity restoring force (round-5; the one
+            # anchor that never drifts): the per-view median KEYPOINT
+            # depth of this room varies ±13% over the whole orbit
+            # (measured round 5) + ~15% keypoint-vs-image bias, while a
+            # scale random walk multiplies ALL triangulated depths
+            # together. A median solved depth > 2x / < 0.5x the
+            # bootstrap-anchored scene median is therefore a scale
+            # blow-up, not scene geometry — rescale the solve back to
+            # median-depth consistency. Inert in healthy operation (the
+            # threshold is ~4 sigma of real variation); in the run-3
+            # failure regime it bounds the walk instead of letting it
+            # integrate (run 3: ratio 4.5x by frame 250, RESULTS.md).
+            zfin = np.asarray(z_cur)
+            zfin = zfin[zfin > 1e-3]
+            if len(zfin) >= 30:
+                m_med = float(np.median(zfin)) / self.median_gt_depth
+                if m_med > 2.0 or m_med < 0.5:
+                    f_s = 1.0 / m_med
+                    C_ref = estimate_c2w_list[ref_idx][:3, 3]
+                    est_c2w = np.array(est_c2w, np.float64, copy=True)
+                    est_c2w[:3, 3] = C_ref + f_s * (est_c2w[:3, 3] - C_ref)
+                    Tcw_cur_cv = nerf_c2w_to_cv_w2c(est_c2w)
+                    z_cur = np.asarray(z_cur) * f_s
+                    r["scale"] = float(r["scale"]) * f_s
+                    self.telemetry[-1]["f_sanity"] = f_s
 
         if est_c2w is not None and gt_baseline is not None:
             # oracle-scale injection ABLATION (VERDICT r4 #2): force the
