@@ -79,6 +79,12 @@ class EngineConfig:
     # bar): replace the solved two-view baseline scale with the true one;
     # residual ATE isolates the non-scale drift sources.
     gt_scale_injection: bool = False
+    # fused outer mapping loop (round 5): run the reference's 3-outer
+    # schedule as ONE device dispatch (lax.scan over pre-gathered windows)
+    # on the no-BA iMAP* path — saves (outer-1) host round-trips (~34 ms
+    # each over the axon tunnel) per mapped frame. Exact semantics of the
+    # host loop (fresh Adam + fresh random window per outer).
+    fused_outer: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict, H: int, W: int, fx, fy, cx, cy):
@@ -116,6 +122,7 @@ class EngineConfig:
             map_resample_every=m.get("resample_every", 1),
             track_resample_every=t.get("resample_every", 1),
             gt_scale_injection=t.get("gt_scale_injection", False),
+            fused_outer=m.get("fused_outer", False),
         )
 
 

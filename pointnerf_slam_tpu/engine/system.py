@@ -240,8 +240,9 @@ class PointNeRFSLAM:
         return jnp.asarray(sensor_depth)
 
     # -- mapping ----------------------------------------------------------
-    def _get_mapper_step(self, max_frames: int, stage: str, lr_factor: float):
-        key = (max_frames, stage, lr_factor)
+    def _get_mapper_step(self, max_frames: int, stage: str, lr_factor: float,
+                         outer_fused: bool = False):
+        key = (max_frames, stage, lr_factor, outer_fused)
         if key not in self._mapper_steps:
             if self.nice:
                 st = self.cfg["mapping"]["stage"][stage]
@@ -254,7 +255,8 @@ class PointNeRFSLAM:
             self._mapper_steps[key] = make_mapper_step(
                 self.model_cfg, self.rcfg, self.ecfg, max_frames,
                 stage=stage, grid_lrs=grid_lrs, decoders_lr=dec_lr,
-                mesh=self.mesh, use_grid_masks=self._use_grid_masks)
+                mesh=self.mesh, use_grid_masks=self._use_grid_masks,
+                outer_fused=outer_fused)
         return self._mapper_steps[key]
 
     def _stage_schedule(self, num_iters: int):
@@ -384,6 +386,17 @@ class PointNeRFSLAM:
         grid_masks = (self._frustum_masks(idx, cur_depth)
                       if self._use_grid_masks else None)
 
+        do_ba0 = self.ecfg.BA and len(self.keyframes) > 4
+        if (self.ecfg.fused_outer and not self.nice
+                and not self._use_grid_masks and not do_ba0
+                and outer_iters > 1):
+            self._map_frame_fused(idx, refine, color, cur_depth,
+                                  cur_color_u8, cur_cam, max_frames,
+                                  num_iters, outer_iters, lr_factor)
+            self.mapping_first_frame_done = True
+            self.timings["mapping"] += time.time() - t0
+            return
+
         for outer in range(outer_iters):
             slots = self._select_window(refine, color, cur_depth,
                                         self.estimate_c2w_list[idx])
@@ -444,6 +457,47 @@ class PointNeRFSLAM:
 
         self.mapping_first_frame_done = True
         self.timings["mapping"] += time.time() - t0
+
+    def _map_frame_fused(self, idx, refine, color, cur_depth, cur_color_u8,
+                         cur_cam, max_frames, num_iters, outer_iters,
+                         lr_factor):
+        """Fused outer loop (round 5, PERF.md): the 3-outer x num_iters
+        schedule as ONE device dispatch. Windows are pre-selected with the
+        SAME np_rng draw sequence as the host loop (selection is
+        independent of the device results on the no-BA path), stacked, and
+        scanned on device (mapper.mapper_multi_step); fresh Adam + fresh
+        window per outer, exactly the host loop's semantics."""
+        wins = []
+        for _ in range(outer_iters):
+            slots = self._select_window(refine, color, cur_depth,
+                                        self.estimate_c2w_list[idx])
+            kf_color, kf_depth, kf_pseudo, kf_cams = \
+                self.keyframes.gather_window(
+                    np.asarray(slots + [0] * (max_frames - 1 - len(slots)),
+                               np.int64))
+            kf_sup = kf_pseudo if self.ecfg.weak_depth else kf_depth
+            valid = np.zeros((max_frames,), bool)
+            valid[: len(slots)] = True
+            valid[-1] = True
+            wins.append((
+                jnp.concatenate([kf_color, cur_color_u8[None]], 0),
+                jnp.concatenate([kf_sup, cur_depth[None]], 0),
+                jnp.concatenate([kf_cams, cur_cam[None]], 0),
+                valid))
+        colors_o = jnp.stack([w[0] for w in wins])
+        depths_o = jnp.stack([w[1] for w in wins])
+        cams_o = jnp.stack([w[2] for w in wins])
+        valid_o = jnp.asarray(np.stack([w[3] for w in wins]))
+        ba_o = jnp.zeros((outer_iters, max_frames), bool)
+        step_fn = self._get_mapper_step(max_frames, "color", lr_factor,
+                                        outer_fused=True)
+        self.params, self.c_grid, _, losses = step_fn(
+            self.params, self.c_grid, colors_o, depths_o, cams_o, valid_o,
+            ba_o, self.bound, self._next_key(), num_iters)
+        self.loss_log["mapping"].append((idx, losses))
+        if self.verbose:
+            print(f"Mapping frame {idx} fused x{outer_iters}: "
+                  f"loss {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
 
     # -- tracking ---------------------------------------------------------
     def _track_frame(self, idx, color, sensor_depth, gt_c2w,

@@ -97,6 +97,9 @@ class SparseFrontend:
             self.extractor = self._default_extractor(cfg, H, W)
         self.depth_scale: Optional[float] = None
         self.median_gt_depth: Optional[float] = None
+        # bootstrap-calibrated median-keypoint-depth / median-image-depth
+        # offset (scale-sanity restoring force; None = force disabled)
+        self.kp_depth_ratio0: Optional[float] = None
         self.prev = None  # REFERENCE keyframe: dict(frame_idx, feats)
         self.telemetry = []
         # recent accepted camera-center steps (tracked-frame granularity)
@@ -494,6 +497,14 @@ class SparseFrontend:
             z_ref = zr_np * f0
             self.depth_scale = float(self.depth_scale) * f0
             self.telemetry_f0 = f0  # diagnostic
+        # calibrate the keypoint-vs-image median-depth offset for the
+        # scale-sanity restoring force (same extractor, same supervision
+        # source as the rest of the run)
+        zr_fin = np.asarray(z_ref)
+        zr_fin = zr_fin[np.asarray(accept) & (zr_fin > 1e-3)]
+        if len(zr_fin) >= 20 and self.median_gt_depth:
+            self.kp_depth_ratio0 = float(
+                np.median(zr_fin) / self.median_gt_depth)
 
         self.telemetry.append({
             "idx": cur_idx, "n_matches": r["n_matches"],
@@ -658,25 +669,30 @@ class SparseFrontend:
                     self.telemetry[-1]["n_map_anchor"] = n_sup
 
         if est_c2w is not None and self.median_gt_depth is not None \
+                and self.kp_depth_ratio0 is not None \
                 and parallax >= self.min_parallax_deg \
                 and gt_baseline is None:
             # absolute scale-sanity restoring force (round-5; the one
-            # anchor that never drifts): the per-view median KEYPOINT
-            # depth of this room varies ±13% over the whole orbit
-            # (measured round 5) + ~15% keypoint-vs-image bias, while a
-            # scale random walk multiplies ALL triangulated depths
-            # together. A median solved depth > 2x / < 0.5x the
-            # bootstrap-anchored scene median is therefore a scale
-            # blow-up, not scene geometry — rescale the solve back to
-            # median-depth consistency. Inert in healthy operation (the
-            # threshold is ~4 sigma of real variation); in the run-3
-            # failure regime it bounds the walk instead of letting it
-            # integrate (run 3: ratio 4.5x by frame 250, RESULTS.md).
+            # anchor that never drifts): the per-view median image depth
+            # of a room orbit varies only ±13% (measured round 5), while
+            # a scale random walk multiplies ALL triangulated depths
+            # together. Keypoints concentrate on structure, so their
+            # median sits at a scene-dependent OFFSET from the image
+            # median (x0.12 on the toy box scene, ~x1 on the room) —
+            # kp_depth_ratio0 calibrates that offset once at bootstrap,
+            # against the same extractor and supervision source. A solved
+            # keypoint-median > 2.5x / < 0.4x the calibrated expectation
+            # is a scale blow-up, not scene geometry — rescale the solve
+            # back. Inert in healthy operation (thresholds are many sigma
+            # of real variation); in the run-3 failure regime it bounds
+            # the walk instead of letting it integrate (ratio 4.5x by
+            # frame 250, RESULTS.md).
             zfin = np.asarray(z_cur)
             zfin = zfin[zfin > 1e-3]
             if len(zfin) >= 30:
-                m_med = float(np.median(zfin)) / self.median_gt_depth
-                if m_med > 2.0 or m_med < 0.5:
+                m_med = float(np.median(zfin)) / (
+                    self.median_gt_depth * self.kp_depth_ratio0)
+                if m_med > 2.5 or m_med < 0.4:
                     f_s = 1.0 / m_med
                     C_ref = estimate_c2w_list[ref_idx][:3, 3]
                     est_c2w = np.array(est_c2w, np.float64, copy=True)
@@ -863,6 +879,7 @@ class SparseFrontend:
                        if kid in kfid2fidx]
                 out["fe2_obs"] = np.asarray(obs, np.int64).reshape(-1, 3)
         out["fe2_ref_fail"] = np.int64(self._ref_fail_count)
+        out["fe2_kp_depth_ratio0"] = np.float64(self.kp_depth_ratio0 or 0)
         if self.dyn is not None:
             out["fe2_dyn_thresh"] = np.float64(
                 self.dyn.max_descriptor_distance)
@@ -916,6 +933,8 @@ class SparseFrontend:
                 for fidx in self._kf_order:
                     self.map.graph.update_connections(self._kfs[fidx])
         self._ref_fail_count = int(z.get("fe2_ref_fail", 0))
+        kpr = float(z.get("fe2_kp_depth_ratio0", 0.0))
+        self.kp_depth_ratio0 = kpr if kpr > 0 else None
         if self.dyn is not None and "fe2_dyn_thresh" in z:
             self.dyn.max_descriptor_distance = float(z["fe2_dyn_thresh"])
         if "fe2_telemetry" in z:
