@@ -63,6 +63,11 @@ def main():
     # tracker); rays still re-derive from live cameras every iteration,
     # so camera gradients are exact. Overridable for A/B timing.
     K = int(os.environ.get("BENCH_RESAMPLE_EVERY", "4"))
+    # Fused outer loop (round 5): the flagship engine runs the reference's
+    # 3x100 outer schedule as ONE device dispatch (mapping.fused_outer;
+    # engine/mapper.mapper_multi_step, bit-exact vs the host loop —
+    # tests/test_fused_outer.py). Bench measures the same structure.
+    FUSED_OUTER = os.environ.get("BENCH_FUSED_OUTER", "1") != "0"
     ecfg = EngineConfig(
         H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
         tracking_pixels=5000, num_cam_iters=50, cam_lr=1e-3,
@@ -85,22 +90,40 @@ def main():
     valid = jnp.ones((F,), bool)
     ba_mask = jnp.zeros((F,), bool)
 
-    mapper_step = make_mapper_step(model_cfg, rcfg, ecfg, F)
+    mapper_step = make_mapper_step(model_cfg, rcfg, ecfg, F,
+                                   outer_fused=FUSED_OUTER)
     tracking_step = make_tracking_step(model_cfg, rcfg, ecfg)
     cam0 = jnp.array([1.0, 0, 0, 0, 0, 0, 2.5])
 
     # mapping: reference steady schedule = 3 outer x 100 inner per cycle
     MAP_INNER = 100
 
-    def one_cycle(params, k):
-        k1, k2, k3, k4 = jax.random.split(k, 4)
-        best_cam, _, _ = tracking_step(params, {}, cam0, color, depth, bound,
-                                       k1)
-        for kk in (k2, k3, k4):
-            params, _, _, losses = mapper_step(params, {}, colors, depths,
-                                               cams, valid, ba_mask, bound,
-                                               kk, MAP_INNER)
-        return params, best_cam, losses
+    if FUSED_OUTER:
+        colors_o = jnp.broadcast_to(colors, (3,) + colors.shape)
+        depths_o = jnp.broadcast_to(depths, (3,) + depths.shape)
+        cams_o = jnp.broadcast_to(cams, (3,) + cams.shape)
+        valid_o = jnp.broadcast_to(valid, (3,) + valid.shape)
+        ba_o = jnp.broadcast_to(ba_mask, (3,) + ba_mask.shape)
+
+        def one_cycle(params, k):
+            k1, k2 = jax.random.split(k)
+            best_cam, _, _ = tracking_step(params, {}, cam0, color, depth,
+                                           bound, k1)
+            params, _, _, losses = mapper_step(params, {}, colors_o,
+                                               depths_o, cams_o, valid_o,
+                                               ba_o, bound, k2, MAP_INNER)
+            return params, best_cam, losses
+    else:
+        def one_cycle(params, k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            best_cam, _, _ = tracking_step(params, {}, cam0, color, depth,
+                                           bound, k1)
+            for kk in (k2, k3, k4):
+                params, _, _, losses = mapper_step(params, {}, colors,
+                                                   depths, cams, valid,
+                                                   ba_mask, bound, kk,
+                                                   MAP_INNER)
+            return params, best_cam, losses
 
     # warmup/compile; force a host transfer — block_until_ready alone has
     # proven unreliable on the experimental axon platform
