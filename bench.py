@@ -63,6 +63,11 @@ def main():
     # tracker); rays still re-derive from live cameras every iteration,
     # so camera gradients are exact. Overridable for A/B timing.
     K = int(os.environ.get("BENCH_RESAMPLE_EVERY", "4"))
+    # tracking budget is 50 iters: 50 % 4 != 0 silently falls back to
+    # per-iteration resampling (tracker.py:220), so the tracker K is 5
+    # (the divisor the flagship config ships, room_bench_k4 validation)
+    KT = int(os.environ.get("BENCH_TRACK_RESAMPLE_EVERY",
+                            "5" if K > 1 else "1"))
     # Fused outer loop (round 5): the flagship engine runs the reference's
     # 3x100 outer schedule as ONE device dispatch (mapping.fused_outer;
     # engine/mapper.mapper_multi_step, bit-exact vs the host loop —
@@ -73,7 +78,7 @@ def main():
         tracking_pixels=5000, num_cam_iters=50, cam_lr=1e-3,
         mapping_pixels=5000, mapping_window_size=5,
         weak_depth=False, depth_supervision=True,
-        map_resample_every=K, track_resample_every=K)
+        map_resample_every=K, track_resample_every=KT)
 
     params = init_mlp(jax.random.PRNGKey(0), model_cfg)
     bound = jnp.asarray([[-3.5, 3.5]] * 3) * 1.0
