@@ -335,9 +335,11 @@ class SparseFrontend:
             # deadlock recovery: when the scale has blown up, the
             # in-kernel scale window rejects EVERY triangulation, so the
             # accepted set can never vouch for a correction — fall back to
-            # all finite triangulations (the median is 50%-breakdown
-            # robust, and map-point association still gates identity)
-            ratios = _ratios(np.asarray(z_ref) > 1e-3)
+            # the pre-scale-gate candidates (cheirality+reproj+inlier,
+            # scale-invariant; padded/unmatched slots carry garbage z and
+            # must stay out — round-5 forensics)
+            ratios = _ratios(np.asarray(r.get("cand", z_ref > 1e-3))
+                             & (np.asarray(z_ref) > 1e-3))
         if len(ratios) < self.map_scale_min_pts:
             return 1.0, len(ratios)
         return float(np.median(ratios)), len(ratios)
@@ -688,7 +690,7 @@ class SparseFrontend:
             # the walk instead of letting it integrate (ratio 4.5x by
             # frame 250, RESULTS.md).
             zfin = np.asarray(z_cur)
-            zfin = zfin[zfin > 1e-3]
+            zfin = zfin[np.asarray(r["cand"]) & (zfin > 1e-3)]
             if len(zfin) >= 30:
                 m_med = float(np.median(zfin)) / (
                     self.median_gt_depth * self.kp_depth_ratio0)

@@ -112,6 +112,13 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
         accept, z_cur, z_ref, uvn_cur, uvn_ref = point_checks(
             pts3d, Tcw_cur, Tcw_ref, kpn_cur, kpn_ref, fx)
         accept = accept & inliers & ok
+        # pre-scale-gate candidate mask (cheirality + reproj + inlier
+        # only): the host scale-sanity force needs a z population that is
+        # real geometry but NOT shaped by the scale window — the window is
+        # exactly what collapses in a scale blow-up (round-5 forensics:
+        # unmasked padded slots made the sanity median garbage, x38
+        # corrections on the toy scene)
+        cand_mask = accept
         n_cand = jnp.sum(accept)
 
         # median triangulation parallax over the candidate set (deg).
@@ -218,7 +225,8 @@ def make_two_view_step(H, W, fx, fy, cx, cy, nn_thresh, ransac_thresh,
             uv_cur, uv_ref, z_cur_s[:, None], z_ref_s[:, None],
             accept[:, None].astype(jnp.float32),
             field_ok[:, None].astype(jnp.float32), pts_s,
-            idx2[:, None].astype(jnp.float32)], axis=1)
+            idx2[:, None].astype(jnp.float32),
+            cand_mask[:, None].astype(jnp.float32)], axis=1)
         out_small = jnp.concatenate([
             Tcw_cur.reshape(-1),
             jnp.stack([jnp.sum(mvalid), n_inl, n_cand, n_scale_ok,
@@ -281,6 +289,9 @@ class TwoViewRunner:
             "accept": kp[:, 6] > 0.5, "field_ok": kp[:, 7] > 0.5,
             "pts3d": kp[:, 8:11].astype(np.float64),
             "idx2": kp[:, 11].astype(np.int64),
+            # pre-scale-gate candidates (cheirality+reproj+inlier): the
+            # scale-sanity force's measurement population
+            "cand": kp[:, 12] > 0.5,
             "n_matches": int(small[16]), "n_inliers": int(small[17]),
             "n_cand": int(small[18]), "n_scale_ok": int(small[19]),
             "n_field_ok": int(small[20]), "n_accept": int(small[21]),
