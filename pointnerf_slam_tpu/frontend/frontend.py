@@ -120,9 +120,19 @@ class SparseFrontend:
         # 0.6-1.5% median depth error; chaining per-pair solves also
         # accumulated a scale random walk (run-2 forensics, RESULTS.md).
         self.min_parallax_deg = float(cfg.get("min_parallax_deg", 1.5))
+        # 2.5 (was 3.0): the k4_100 run held a reference into a hard
+        # wide-baseline region — inliers collapsed 301 -> 32 -> 6 over 10
+        # frames, 3 tracked frames dropped, and the NeRF refine dragged
+        # the frozen trajectory to 0.27x speed (round-5 forensics).
+        # Advance while the pair is still healthy, not when it breaks.
         self.ref_advance_parallax_deg = float(
-            cfg.get("ref_advance_parallax_deg", 3.0))
+            cfg.get("ref_advance_parallax_deg", 2.5))
         self.ref_min_matches = int(cfg.get("ref_min_matches", 150))
+        # inlier-decay advance trigger (see track_continuous tail): 60
+        # (was 30) — at 30 the k4_100 frame-60 pair (32 inliers of 342
+        # matches, 9% consistent) did NOT advance and the next two solves
+        # failed outright
+        self.ref_min_inliers = int(cfg.get("ref_min_inliers", 60))
         self.ref_max_fail = int(cfg.get("ref_max_fail", 2))
         self._ref_fail_count = 0
         # persistent sparse map (src/map.py live bookkeeping): accepted
@@ -608,6 +618,15 @@ class SparseFrontend:
         s_prior = max(float(np.linalg.norm(
             estimate_c2w_list[idx][:3, 3]
             - estimate_c2w_list[ref_idx][:3, 3])), 1e-4)
+        if self._step_hist:
+            # dropout floor (k4_100 forensics): after a solve-failure
+            # window the trajectory is frozen at NeRF-refined motion
+            # predictions that under-move badly, so the dead-reckoned
+            # baseline to a just-re-anchored reference can collapse
+            # (measured 0.006 vs true ~0.13). A moving sequence's ref is
+            # at least ~one recent tracked-frame step away.
+            s_prior = max(s_prior,
+                          0.8 * float(np.median(self._step_hist)))
         r = self._two_view(feats_ref, feats_cur, Tcw_ref_cv,
                            set_scale=False, field_ctx=field_ctx,
                            scale_prior=s_prior)
@@ -818,7 +837,7 @@ class SparseFrontend:
         if (parallax >= self.ref_advance_parallax_deg
                 and int(accept.sum()) >= 16) \
                 or r["n_matches"] < self.ref_min_matches \
-                or r["n_inliers"] < 30:
+                or r["n_inliers"] < self.ref_min_inliers:
             self.prev = {"frame_idx": idx, "feats": feats_cur}
         return est_c2w, pseudo
 
