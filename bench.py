@@ -73,11 +73,16 @@ def main():
     # engine/mapper.mapper_multi_step, bit-exact vs the host loop —
     # tests/test_fused_outer.py). Bench measures the same structure.
     FUSED_OUTER = os.environ.get("BENCH_FUSED_OUTER", "1") != "0"
+    # no-BA fast path (round 5, bit-exact: tests/test_fused_vg.py
+    # test_no_ba_fast_path_identical): the flagship maps with BA off, so
+    # per-iteration ray re-derivation + the kernel dray block are skipped.
+    NO_BA_FAST = os.environ.get("BENCH_NO_BA_FAST", "1") != "0"
     ecfg = EngineConfig(
         H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
         tracking_pixels=5000, num_cam_iters=50, cam_lr=1e-3,
         mapping_pixels=5000, mapping_window_size=5,
         weak_depth=False, depth_supervision=True,
+        no_ba_fast=NO_BA_FAST,
         map_resample_every=K, track_resample_every=KT)
 
     params = init_mlp(jax.random.PRNGKey(0), model_cfg)

@@ -107,9 +107,14 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
     # computes loss + all gradients in ONE pallas call with zero backward
     # recompute (activations stay VMEM-resident)
     use_vg = use_mega and supports_fused_vg(model_cfg, rcfg)
+    # no-BA fast path (ecfg.no_ba_fast): cams are constants inside the
+    # call, so skip per-iteration ray vjp + the kernel's dray block.
+    # Numerics identical (cam grads were ba_mask-zeroed anyway).
+    no_cam = bool(ecfg.no_ba_fast and not ecfg.BA)
     vg_fn = (make_fused_vg(rcfg, "mapper", ecfg.w_color_loss_m, 0.0005,
                            with_color=color_in_loss,
-                           w_beyond=ecfg.w_beyond_loss)
+                           w_beyond=ecfg.w_beyond_loss,
+                           with_ray_grads=not no_cam)
              if use_vg else None)
     # resample-every-K schedule (PERF.md round 4): reuse one pixel batch +
     # one importance z2 across K consecutive Adam iterations — the
@@ -124,7 +129,8 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         from ..ops.fused_vg import make_fused_vg_split
         vg_prep, vg_main = make_fused_vg_split(
             rcfg, "mapper", ecfg.w_color_loss_m, 0.0005,
-            with_color=color_in_loss, w_beyond=ecfg.w_beyond_loss)
+            with_color=color_in_loss, w_beyond=ecfg.w_beyond_loss,
+            with_ray_grads=not no_cam)
 
     def sample_frame_rays(key, color_u8, depth, c2w34):
         if ecfg.weak_depth:
@@ -166,7 +172,12 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
                     i_pix, j_pix, c2w)
             return ro.reshape(-1, 3), rd.reshape(-1, 3)
 
-        (rays_o, rays_d), rays_vjp = jax.vjp(rays_fn, opt_vars["cams"])
+        if no_cam:
+            rays_o, rays_d = rays_fn(opt_vars["cams"])
+            rays_vjp = None
+        else:
+            (rays_o, rays_d), rays_vjp = jax.vjp(rays_fn,
+                                                 opt_vars["cams"])
         ray_w = jnp.repeat(frame_valid.astype(jnp.float32), pixs_per_frame)
         ray_w = ray_w * (max_frames / jnp.maximum(n_valid_frames, 1))
         _, k_reg = jax.random.split(keys[-1])   # k_render never consumed
@@ -174,7 +185,8 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
         loss, dparams, dro, drd, _aux = vg_fn(
             params, rays_o, rays_d, gt_d.reshape(-1), gt_c.reshape(-1, 3),
             ray_w, t_reg, bound)
-        (dcams,) = rays_vjp((dro, drd))
+        dcams = (jnp.zeros_like(opt_vars["cams"]) if no_cam
+                 else rays_vjp((dro, drd))[0])
         return loss, {"params": dparams, "cams": dcams, "grids": {}}
 
     def vg_round(carry, k, make_update, fixed_cams, frame_valid, ba_mask,
@@ -205,13 +217,19 @@ def make_mapper_step(model_cfg, rcfg: RenderConfig, ecfg: EngineConfig,
 
         def inner(carry2, kk):
             opt_vars, opt_state = carry2
-            (ro, rd), rays_vjp = jax.vjp(rays_fn, opt_vars["cams"])
+            if no_cam:
+                # cams are constants (BA off): the round's rays are the
+                # iteration's rays — no per-iteration vjp re-derivation
+                ro, rd, rays_vjp = ro0, rd0, None
+            else:
+                (ro, rd), rays_vjp = jax.vjp(rays_fn, opt_vars["cams"])
             t_reg = jax.random.uniform(kk,
                                        (ro.shape[0], rcfg.N_samples))
             loss, dparams, dro, drd, _aux = vg_main(
                 opt_vars["params"], ro, rd, gt_d_f, gt_c_f, ray_w, t_reg,
                 z2, bound)
-            (dcams,) = rays_vjp((dro, drd))
+            dcams = (jnp.zeros_like(opt_vars["cams"]) if no_cam
+                     else rays_vjp((dro, drd))[0])
             grads = {"params": dparams, "cams": dcams, "grids": {}}
             return make_update(loss, grads, opt_vars, opt_state)
 

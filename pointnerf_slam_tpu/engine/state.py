@@ -85,6 +85,12 @@ class EngineConfig:
     # each over the axon tunnel) per mapped frame. Exact semantics of the
     # host loop (fresh Adam + fresh random window per outer).
     fused_outer: bool = False
+    # no-BA mapping fast path (round 5): with BA off the window cameras
+    # are constants inside the mapping call, so per-iteration ray
+    # re-derivation + the kernel's d(loss)/d(rays) contractions are pure
+    # waste — skip both (rays built once per resample round; cam grads
+    # identically zero, exactly what the ba_mask produced anyway).
+    no_ba_fast: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict, H: int, W: int, fx, fy, cx, cy):
@@ -123,6 +129,7 @@ class EngineConfig:
             track_resample_every=t.get("resample_every", 1),
             gt_scale_injection=t.get("gt_scale_injection", False),
             fused_outer=m.get("fused_outer", False),
+            no_ba_fast=m.get("no_ba_fast", False),
         )
 
 

@@ -302,7 +302,11 @@ def _make_p1_kernel(S1):
 
 
 def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
-                    param_grads, w_beyond=0.0):
+                    param_grads, w_beyond=0.0, with_dray=True):
+    """with_dray=False: skip the d(loss)/d(rays) contractions + store —
+    the no-BA mapper discards them (cams frozen; ba_mask all-False), so
+    the ~1.4 ms/iter dray block (PERF round-3 ablation) is pure waste.
+    dray outputs come back zero; callers must not consume them."""
     S2 = S1 + SI
     with_reg = mode == "mapper"
     with_beyond = mode == "mapper" and w_beyond > 0.0
@@ -449,6 +453,9 @@ def _make_vg_kernel(S1, SI, SR, mode, with_color, w_color, w_reg,
                                    [h[:] for h in hs],
                                    param_grads
                                    and _ABLATE != "noparamgrads")
+        if not with_dray:
+            dray_ref[:] = jnp.zeros((T, 8), jnp.float32)
+            return
         Tz = jnp.zeros((T, 4), jnp.float32)
         Do, Dd = Tz, Tz
         if _ABLATE != "nodray":
@@ -485,7 +492,8 @@ def _vg_scratch(S1, SI, SR, with_reg):
 
 
 def _make_vg_parts(rcfg, mode: str, w_color: float, w_reg: float,
-                   with_color: bool, param_grads: bool, w_beyond: float):
+                   with_color: bool, param_grads: bool, w_beyond: float,
+                   with_ray_grads: bool = True):
     """Shared construction for make_fused_vg / make_fused_vg_split."""
     assert mode in ("mapper", "tracker"), mode
     S1, SI, SR = rcfg.N_samples, rcfg.N_importance, rcfg.N_samples
@@ -493,7 +501,8 @@ def _make_vg_parts(rcfg, mode: str, w_color: float, w_reg: float,
     with_reg = mode == "mapper"
     kernel = _make_vg_kernel(S1, SI, SR, mode, with_color,
                              float(w_color), float(w_reg), param_grads,
-                             float(w_beyond))
+                             float(w_beyond),
+                             with_dray=with_ray_grads)
     p1_kernel = _make_p1_kernel(S1)
 
     def _pack_rays(rays_o, rays_d, gt_d, bound):
@@ -600,7 +609,7 @@ def _make_vg_parts(rcfg, mode: str, w_color: float, w_reg: float,
 
 def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
                   with_color: bool = True, param_grads: bool = True,
-                  w_beyond: float = 0.0):
+                  w_beyond: float = 0.0, with_ray_grads: bool = True):
     """Build the single-kernel loss value-and-grad callable.
 
     Returns vg(params, rays_o, rays_d, gt_d, gt_c, ray_w, t_reg, bound)
@@ -611,14 +620,17 @@ def make_fused_vg(rcfg, mode: str, w_color: float, w_reg: float = 0.0005,
     param_grads=False skips the weight-grad contractions (dparams comes
     back all-zero) — use for camera-only tracking. w_beyond > 0 (mapper
     only) adds the in-kernel termination penalty (PARITY #25) so the
-    flagship room_bench configs stay on the fused path."""
+    flagship room_bench configs stay on the fused path.
+    with_ray_grads=False skips the dray contractions (no-BA mapper)."""
     return _make_vg_parts(rcfg, mode, w_color, w_reg, with_color,
-                          param_grads, w_beyond)[0]
+                          param_grads, w_beyond,
+                          with_ray_grads=with_ray_grads)[0]
 
 
 def make_fused_vg_split(rcfg, mode: str, w_color: float,
                         w_reg: float = 0.0005, with_color: bool = True,
-                        param_grads: bool = True, w_beyond: float = 0.0):
+                        param_grads: bool = True, w_beyond: float = 0.0,
+                        with_ray_grads: bool = True):
     """The factored pair for resample_every=K schedules.
 
     Returns (prepare, main):
@@ -628,5 +640,6 @@ def make_fused_vg_split(rcfg, mode: str, w_color: float,
     main(..., prepare(...)) == vg(...) exactly (same op sequence; the
     recomputed ray packing CSEs away under one jit)."""
     _, prepare, main = _make_vg_parts(rcfg, mode, w_color, w_reg,
-                                      with_color, param_grads, w_beyond)
+                                      with_color, param_grads, w_beyond,
+                                      with_ray_grads=with_ray_grads)
     return prepare, main

@@ -261,3 +261,40 @@ def test_engine_resample_every_quality():
         assert np.all(np.isfinite(np.asarray(bc)))
         best[k] = float(bl)
     assert best[4] < 1.6 * best[1] + 1e-3
+
+
+def test_no_ba_fast_path_identical():
+    """no_ba_fast (round 5): with BA off the cams are constants, so
+    skipping the per-iteration ray vjp + the kernel dray block must be
+    BIT-IDENTICAL in params/losses to the full path (cam grads were
+    ba_mask-zeroed anyway). Covers both the K=1 body and the
+    resample_every=K round path."""
+    from pointnerf_slam_tpu.engine.mapper import make_mapper_step
+    from pointnerf_slam_tpu.engine.state import EngineConfig
+
+    H, W, F = 16, 24, 2
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, CFG)
+    colors = (jax.random.uniform(key, (F, H, W, 3)) * 255).astype(jnp.uint8)
+    depths = jax.random.uniform(key, (F, H, W), minval=0.5, maxval=3.0)
+    cams = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 2.5]), (F, 1))
+    valid = jnp.ones((F,), bool)
+    ba = jnp.zeros((F,), bool)
+
+    for k_every in (1, 2):
+        outs = {}
+        for fast in (False, True):
+            ecfg = EngineConfig(H=H, W=W, fx=12.0, fy=12.0, cx=11.5,
+                                cy=7.5, mapping_pixels=128,
+                                weak_depth=False, depth_supervision=True,
+                                megakernel="on", no_ba_fast=fast,
+                                map_resample_every=k_every)
+            step = make_mapper_step(CFG, RCFG, ecfg, F)
+            p, _, _, losses = step(params, {}, colors, depths, cams,
+                                   valid, ba, BOUND,
+                                   jax.random.PRNGKey(3), 2)
+            outs[fast] = (p, np.asarray(losses))
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+        for a, b in zip(jax.tree_util.tree_leaves(outs[True][0]),
+                        jax.tree_util.tree_leaves(outs[False][0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
